@@ -76,7 +76,58 @@ def scatter_modern(rays: Rays, hits: Hits, base) -> Rays:
     )
 
 
+def scatter_legacy(rays: Rays, hits: Hits, base) -> Rays:
+    """Legacy wavefront scatter (15_module.py:994-1013):
+
+    - continuous ``metallic`` is a stochastic metal/dielectric mix prob;
+    - metal: tinted Schlick, mirror about the *geometric* normal, additive
+      in-ball roughness jitter (no slerp);
+    - dielectric roulette: transmit → legacy refract (clamped, no TIR) or
+      diffuse, both attenuated by ``albedo * (1 - absorptivity)``; specular
+      reflection leaves throughput unchanged;
+    - new origin offset 2ε along the shading normal.
+    """
+    d = rays.rd
+    nrm = hits.normal
+    mat = hits.material
+
+    u_metal = rng.uniform(base, 0)
+    u1, u2, u3 = rng.uniform3(base, 1)   # in-ball jitter (shared by branches)
+    u_fresnel = rng.uniform(base, 4)
+    u5, u6 = rng.uniform2(base, 5)       # diffuse bounce
+
+    cos_theta = jnp.maximum(jnp.sum(nrm * (-d), axis=-1), 0.0)
+    rd_reflect = sp.roughen(sp.reflect(d, nrm), mat.roughness, u1, u2, u3)
+
+    # metal branch
+    f_metal = sp.schlick(cos_theta[..., None], mat.albedo)
+    l_metal = rays.throughput * f_metal
+
+    # dielectric branch
+    f0 = ((mat.ior - 1.0) / (mat.ior + 1.0)) ** 2
+    f_diel = sp.schlick(cos_theta, f0)
+    rd_refract = sp.roughen(sp.refract_legacy(d, nrm, mat.ior),
+                            mat.roughness, u1, u2, u3)
+    rd_diffuse = sp.sample_lambertian(nrm, u5, u6)
+    attenuation = mat.albedo * (1.0 - mat.absorptivity)[..., None]
+    transmit = u_fresnel > f_diel
+    is_transparent = mat.transparency > 0.0
+    rd_nonspec = jnp.where(is_transparent[..., None], rd_refract, rd_diffuse)
+    rd_diel = jnp.where(transmit[..., None], rd_nonspec, rd_reflect)
+    l_diel = jnp.where(transmit[..., None], rays.throughput * attenuation,
+                       rays.throughput)
+
+    is_metal = (u_metal < mat.metallic)[..., None]
+    return Rays(
+        ro=hits.point + 2.0 * 1e-4 * nrm,
+        rd=jnp.where(is_metal, rd_reflect, rd_diel),
+        throughput=jnp.where(is_metal, l_metal, l_diel),
+        alive=rays.alive,
+    )
+
+
 SCATTERERS = {
     "diffuse": scatter_diffuse,
     "modern": scatter_modern,
+    "legacy": scatter_legacy,
 }

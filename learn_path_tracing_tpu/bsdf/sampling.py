@@ -106,3 +106,27 @@ def schlick(cos_theta, f0):
     """Schlick fresnel approximation: F0 + (1-F0)(1-cosθ)⁵."""
     c = jnp.maximum(cos_theta, 0.0)
     return f0 + (1.0 - f0) * (1.0 - c) ** 5
+
+
+def refract_legacy(d, n, ior):
+    """Legacy refraction (15_module.py:320-331): like `refract` but with the
+    perpendicular component clamped to length 1 instead of a TIR fallback —
+    grazing/TIR rays exit along the tangent direction."""
+    ior = jnp.asarray(ior)
+    if ior.ndim < d.ndim:
+        ior = ior[..., None]
+    k = dot(d, n)
+    r_perp = (d - k * n) / ior
+    perp_len2 = jnp.minimum(dot(r_perp, r_perp), 1.0)
+    kk = jnp.sqrt(jnp.maximum(1.0 - perp_len2, 0.0))
+    return r_perp - kk * n
+
+
+def roughen(direction, roughness, u1, u2, u3):
+    """Legacy roughness perturbation (15_module.py:334-347): add
+    roughness-scaled uniform-in-ball jitter, then normalize."""
+    s = sample_in_sphere(u1, u2, u3)
+    r = jnp.asarray(roughness)
+    if r.ndim < direction.ndim:
+        r = r[..., None]
+    return normalize(direction + r * s, eps=1e-12)

@@ -36,10 +36,27 @@ def sky_background(rd):
     return (1.0 - t)[..., None] * white + t[..., None] * blue
 
 
+def _scene_fns(scene: str):
+    """(hit_fn(world, rays, backend), background_fn(world, rd)) per scene kind.
+
+    'spheres': the modern-stage sphere world with the gradient sky.
+    'legacy' : textured mesh/sphere BVH world with equirect IBL escape.
+    """
+    if scene == "spheres":
+        return (lambda w, r, hb: world_mod.hit(w, r, backend=hb),
+                lambda w, rd: sky_background(rd))
+    if scene == "legacy":
+        from ..scene.legacy_world import environment_color, hit_legacy
+
+        return (lambda w, r, hb: hit_legacy(w, r),
+                lambda w, rd: environment_color(w.envs, w.env_id, rd))
+    raise ValueError(f"unknown scene kind: {scene!r}")
+
+
 def trace_sample_pixels(world_data, cam: CameraParams, resolution, pixel_ids,
                         seed, sample, limit: int, bsdf: str = "modern",
                         camera_model: str = "thinlens",
-                        background=sky_background, hit_backend: str = "auto"):
+                        scene: str = "spheres", hit_backend: str = "auto"):
     """Trace one sample for each absolute pixel id; returns
     (radiance f32[N,3], segments f32). RNG keys on absolute pixel ids, so a
     sharded pixel chunk computes exactly what the single-device path would."""
@@ -47,17 +64,19 @@ def trace_sample_pixels(world_data, cam: CameraParams, resolution, pixel_ids,
                                     model=camera_model)
     n = rays.count
     scatter = SCATTERERS[bsdf]
+    hit_fn, background_fn = _scene_fns(scene)
     pix = pixel_ids.astype(jnp.uint32)
 
     def bounce(carry, b):
         rays, radiance, segments = carry
-        hits = world_mod.hit(world_data, rays, backend=hit_backend)
+        hits = hit_fn(world_data, rays, hit_backend)
         # f32 counter: exact to 2^24 per pass, ample precision for a rate metric
         segments = segments + jnp.sum(rays.alive.astype(jnp.float32))
 
         escaped = rays.alive & ~hits.hit
         radiance = radiance + jnp.where(
-            escaped[:, None], background(rays.rd) * rays.throughput, 0.0
+            escaped[:, None], background_fn(world_data, rays.rd) * rays.throughput,
+            0.0,
         )
 
         base = rng.base(rng.stream(seed, sample, b, rng.STREAM_BSDF), pix)
@@ -78,20 +97,20 @@ def trace_sample_pixels(world_data, cam: CameraParams, resolution, pixel_ids,
 
 def trace_sample(world_data, cam: CameraParams, resolution, seed, sample,
                  limit: int, bsdf: str = "modern", camera_model: str = "thinlens",
-                 background=sky_background, hit_backend: str = "auto"):
+                 scene: str = "spheres", hit_backend: str = "auto"):
     """Trace one sample per pixel over the full pixel grid."""
     return trace_sample_pixels(
         world_data, cam, resolution, pixel_grid(resolution), seed, sample,
-        limit, bsdf=bsdf, camera_model=camera_model, background=background,
+        limit, bsdf=bsdf, camera_model=camera_model, scene=scene,
         hit_backend=hit_backend,
     )
 
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
-                                   "camera_model", "hit_backend"))
+                                   "camera_model", "scene", "hit_backend"))
 def render(world_data, cam: CameraParams, resolution, spp: int, limit: int = 32,
            seed=0, bsdf: str = "modern", camera_model: str = "thinlens",
-           hit_backend: str = "auto"):
+           scene: str = "spheres", hit_backend: str = "auto"):
     """Render ``spp`` samples/pixel; returns (image f32[W,H,3], segments).
 
     The image is mean linear radiance (the reference divides each
@@ -104,7 +123,8 @@ def render(world_data, cam: CameraParams, resolution, spp: int, limit: int = 32,
         acc, segs = carry
         radiance, segments = trace_sample(
             world_data, cam, resolution, seed, s, limit,
-            bsdf=bsdf, camera_model=camera_model, hit_backend=hit_backend,
+            bsdf=bsdf, camera_model=camera_model, scene=scene,
+            hit_backend=hit_backend,
         )
         return acc + radiance, segs + segments
 
@@ -116,18 +136,19 @@ def render(world_data, cam: CameraParams, resolution, spp: int, limit: int = 32,
 
 
 @partial(jax.jit, static_argnames=("resolution", "spp_per_call", "limit", "bsdf",
-                                   "camera_model", "hit_backend"))
+                                   "camera_model", "scene", "hit_backend"))
 def render_accumulate(world_data, cam: CameraParams, acc, sample_start,
                       resolution, spp_per_call: int, limit: int = 32, seed=0,
                       bsdf: str = "modern", camera_model: str = "thinlens",
-                      hit_backend: str = "auto"):
+                      scene: str = "spheres", hit_backend: str = "auto"):
     """Progressive variant: add ``spp_per_call`` samples into ``acc`` [N,3]
     starting at absolute sample index ``sample_start``. Returns new acc."""
 
     def body(k, a):
         radiance, _ = trace_sample(
             world_data, cam, resolution, seed, sample_start + k, limit,
-            bsdf=bsdf, camera_model=camera_model, hit_backend=hit_backend,
+            bsdf=bsdf, camera_model=camera_model, scene=scene,
+            hit_backend=hit_backend,
         )
         return a + radiance
 

@@ -41,7 +41,8 @@ def make_mesh(n_tile: int | None = None, n_spp: int = 1, devices=None) -> Mesh:
 
 def render_sharded(world_data, cam: CameraParams, resolution, spp: int,
                    mesh: Mesh, limit: int = 32, seed=0, bsdf: str = "modern",
-                   camera_model: str = "thinlens", hit_backend: str = "auto"):
+                   camera_model: str = "thinlens", scene: str = "spheres",
+                   hit_backend: str = "auto"):
     """Render across the mesh; returns (image f32[W,H,3] sharded over tiles,
     segments f32 total).
 
@@ -77,7 +78,8 @@ def render_sharded(world_data, cam: CameraParams, resolution, spp: int,
             acc, segs = carry
             radiance, segments = trace_sample_pixels(
                 wd, cp, resolution, pix_chunk, seed, s0 + k, limit,
-                bsdf=bsdf, camera_model=camera_model, hit_backend=hit_backend,
+                bsdf=bsdf, camera_model=camera_model, scene=scene,
+                hit_backend=hit_backend,
             )
             return acc + radiance, segs + segments
 
@@ -93,17 +95,18 @@ def render_sharded(world_data, cam: CameraParams, resolution, spp: int,
 
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
-                                   "camera_model", "hit_backend", "mesh"))
+                                   "camera_model", "scene", "hit_backend", "mesh"))
 def _render_sharded_jit(world_data, cam, resolution, spp, mesh, limit, seed,
-                        bsdf, camera_model, hit_backend):
+                        bsdf, camera_model, scene, hit_backend):
     return render_sharded(world_data, cam, resolution, spp, mesh, limit=limit,
                           seed=seed, bsdf=bsdf, camera_model=camera_model,
-                          hit_backend=hit_backend)
+                          scene=scene, hit_backend=hit_backend)
 
 
 def render_multichip(world_data, cam: CameraParams, resolution, spp: int,
                      mesh: Mesh, limit: int = 32, seed=0, bsdf: str = "modern",
-                     camera_model: str = "thinlens", hit_backend: str = "auto"):
+                     camera_model: str = "thinlens", scene: str = "spheres",
+                     hit_backend: str = "auto"):
     """Jitted entry point for multi-chip rendering."""
     return _render_sharded_jit(world_data, cam, resolution, spp, mesh, limit,
-                               seed, bsdf, camera_model, hit_backend)
+                               seed, bsdf, camera_model, scene, hit_backend)

@@ -1,0 +1,441 @@
+"""Legacy-line world: textured triangle meshes + spheres + IBL environment.
+
+Mirrors the reference's module-15 ``World``
+(/root/reference/legacy/PT_in_one_weekend/15_module.py:782-848): a sphere
+BVH plus one BVH per mesh, materials sampled from the texture atlas at hit
+time, an equirect environment as the escape radiance, and ``.world.npy``
+save/load. TPU re-design: flat SoA device tables per mesh (pre-gathered
+per-face vertex data so traversal leaf tests need a single index), masked
+wavefront hit queries, and a packed 8-channel atlas with one bilinear
+sampler for all material channels.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.bvh import FlatBVH, build_bvh
+from ..accel.traverse import (
+    make_sphere_leaf_test,
+    make_triangle_leaf_test,
+    traverse,
+)
+from ..core.pytree import pytree_dataclass
+from ..core.types import Hits, Materials, Rays
+from ..geometry.triangle import interpolate_attributes, triangle_barycentrics
+from ..io.obj import MeshData
+from ..io.texture import (
+    EnvironmentMaps,
+    TextureAtlas,
+    TextureManager,
+    build_environment_atlas,
+    build_texture_atlas,
+    make_info_arrays,
+    sample_bilinear,
+)
+from . import serialize
+
+EPSILON = 1e-4
+# Legacy constants baked into hit records (15_module.py:891-894, 946-950).
+LEGACY_IOR = 1.5
+LEGACY_ABSORPTIVITY = 0.25
+
+
+@pytree_dataclass
+class MeshDeviceData:
+    v0: jnp.ndarray   # f32[T,3] pre-gathered vertex positions
+    v1: jnp.ndarray
+    v2: jnp.ndarray
+    n0: jnp.ndarray   # f32[T,3] vertex normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # f32[T,2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    tex: jnp.ndarray  # i32[T]
+    bvh: FlatBVH
+
+
+@pytree_dataclass
+class SphereDeviceData:
+    center: jnp.ndarray        # f32[S,3]
+    radius: jnp.ndarray        # f32[S]
+    transparency: jnp.ndarray  # f32[S]
+    tex: jnp.ndarray           # i32[S]
+    bvh: FlatBVH
+
+
+@pytree_dataclass
+class LegacyWorldData:
+    meshes: tuple            # tuple[MeshDeviceData, ...]
+    spheres: SphereDeviceData | None
+    atlas: TextureAtlas
+    envs: EnvironmentMaps
+    env_id: jnp.ndarray      # i32 scalar
+
+
+def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
+                 bvh: FlatBVH) -> MeshDeviceData:
+    p = positions[face_p]          # [T,3,3]
+    n = normals[face_n]
+    t = uvs[face_t]
+    j = jnp.asarray
+    return MeshDeviceData(
+        v0=j(p[:, 0]), v1=j(p[:, 1]), v2=j(p[:, 2]),
+        n0=j(n[:, 0]), n1=j(n[:, 1]), n2=j(n[:, 2]),
+        uv0=j(t[:, 0]), uv1=j(t[:, 1]), uv2=j(t[:, 2]),
+        tex=j(face_tex.astype(np.int32)),
+        bvh=bvh,
+    )
+
+
+def _content_size(configs, fallback=(8, 8)):
+    """Tight atlas extent actually covered by packed rects (device memory
+    saver — the reference always allocates the full 12288x2048 atlas)."""
+    if not configs:
+        return fallback
+    from ..io.texture import _area_field
+
+    w = max(_area_field(c["area"], "high")[0] for c in configs)
+    h = max(_area_field(c["area"], "high")[1] for c in configs)
+    return (max(int(w), 1), max(int(h), 1))
+
+
+def _default_environment(tm: TextureManager):
+    """14-era files carry no environment dump; synthesize a small builtin
+    sky-gradient rect so escape radiance is well-defined."""
+    if not tm.configs:
+        tm.size = (64, 32)
+        tm.configs = [{
+            "file_path": "<builtin:sky>",
+            "size": (64, 32), "id": 0,
+            "area": {"low": (0, 0), "high": (64, 32)},
+        }]
+
+
+def _bvh_from_record(rec) -> FlatBVH:
+    cut = np.asarray(rec["cut"], np.int32)
+    sizes = cut[1:] - cut[:-1]
+    return FlatBVH(
+        left=jnp.asarray(rec["nodes"]["left"]),
+        right=jnp.asarray(rec["nodes"]["right"]),
+        low=jnp.asarray(rec["nodes"]["low"]),
+        high=jnp.asarray(rec["nodes"]["high"]),
+        data=jnp.asarray(rec["nodes"]["data"]),
+        cut=jnp.asarray(cut),
+        prim=jnp.arange(int(cut[-1]), dtype=jnp.int32),
+        max_depth=int(rec["max_depth"]),
+        max_leaf=int(sizes.max(initial=1)),
+    )
+
+
+class LegacyWorld:
+    """Host-side scene builder mirroring 15_module World's API."""
+
+    def __init__(self, texture_size=(2048 * 6, 2048),
+                 environment_size=(2048, 2048)):
+        self.meshes: list[MeshData] = []
+        self.spheres: list[dict] = []
+        self.environment: int | None = None
+        self.textures = TextureManager(texture_size)
+        self.environments = TextureManager(environment_size)
+        self._device: LegacyWorldData | None = None
+        self._bvh_records = None  # for save()
+
+    def add_mesh(self, mesh: MeshData):
+        self.meshes.append(mesh)
+        self._device = None
+
+    def add_sphere(self, center, radius, transparency=0, texture_id=0):
+        self.spheres.append({
+            "center": tuple(float(c) for c in center),
+            "radius": float(radius),
+            "transparency": int(transparency),
+            "texture_id": int(texture_id),
+        })
+        self._device = None
+
+    def set_environment(self, id):
+        self.environment = int(id)
+
+    # ------------------------------------------------------------- build --
+    def build(self, mesh_max_depth=16, sphere_max_depth=8, max_leaf=4,
+              path_map=None) -> LegacyWorldData:
+        """Pack textures, build atlases and BVHs, upload device tables."""
+        self.textures.build()
+        _default_environment(self.environments)
+        self.environments.build()
+        atlas_np = build_texture_atlas(self.textures.configs,
+                                       _content_size(self.textures.configs),
+                                       path_map=path_map)
+        env_np = build_environment_atlas(self.environments.configs,
+                                         _content_size(self.environments.configs),
+                                         path_map=path_map)
+
+        mesh_records = []
+        mesh_devices = []
+        for mesh in self.meshes:
+            tri_p = mesh.positions[mesh.face_p]      # [T,3,3]
+            plow = tri_p.min(axis=1)
+            phigh = tri_p.max(axis=1)
+            bvh = build_bvh(plow, phigh, centroid=tri_p.mean(axis=1),
+                            max_depth=mesh_max_depth, max_leaf=max_leaf)
+            mesh_devices.append(_mesh_device(
+                mesh.positions, mesh.normals, mesh.uvs,
+                mesh.face_p, mesh.face_n, mesh.face_t, mesh.face_tex, bvh))
+            # leaf-ordered faces for reference-compatible serialization
+            order = np.asarray(bvh.prim)
+            mesh_records.append({
+                "max_depth": mesh_max_depth,
+                "nodes": {k: np.asarray(getattr(bvh, k)) for k in
+                          ("left", "right", "low", "high", "data")},
+                "cut": np.asarray(bvh.cut),
+                "faces": {
+                    "p": mesh.face_p[order], "n": mesh.face_n[order],
+                    "t": mesh.face_t[order], "tex": mesh.face_tex[order],
+                },
+                "positions": mesh.positions, "normals": mesh.normals,
+                "uvs": mesh.uvs,
+            })
+
+        sphere_record = None
+        sphere_device = None
+        if self.spheres:
+            centers = np.array([s["center"] for s in self.spheres], np.float32)
+            radii = np.array([s["radius"] for s in self.spheres], np.float32)
+            transp = np.array([s["transparency"] for s in self.spheres], np.float32)
+            tex = np.array([s["texture_id"] for s in self.spheres], np.int32)
+            bvh = build_bvh(centers - radii[:, None], centers + radii[:, None],
+                            centroid=centers, max_depth=sphere_max_depth,
+                            max_leaf=max_leaf)
+            order = np.asarray(bvh.prim)
+            sphere_device = SphereDeviceData(
+                center=jnp.asarray(centers), radius=jnp.asarray(radii),
+                transparency=jnp.asarray(transp), tex=jnp.asarray(tex), bvh=bvh)
+            sphere_record = {
+                "max_depth": sphere_max_depth,
+                "nodes": {k: np.asarray(getattr(bvh, k)) for k in
+                          ("left", "right", "low", "high", "data")},
+                "cut": np.asarray(bvh.cut),
+                "spheres": {
+                    "center": centers[order], "radius": radii[order],
+                    "transparency": transp[order].astype(np.int32),
+                    "texture_id": tex[order],
+                },
+            }
+
+        tex_low, tex_high = make_info_arrays(self.textures.configs)
+        env_low, env_high = make_info_arrays(self.environments.configs)
+        self._device = LegacyWorldData(
+            meshes=tuple(mesh_devices),
+            spheres=sphere_device,
+            atlas=TextureAtlas(packed=jnp.asarray(atlas_np),
+                               info_low=tex_low, info_high=tex_high),
+            envs=EnvironmentMaps(img=jnp.asarray(env_np),
+                                 info_low=env_low, info_high=env_high),
+            env_id=jnp.int32(self.environment or 0),
+        )
+        self._bvh_records = (mesh_records, sphere_record)
+        return self._device
+
+    def device(self) -> LegacyWorldData:
+        if self._device is None:
+            raise RuntimeError("call build() or load() first")
+        return self._device
+
+    # --------------------------------------------------------------- I/O --
+    def save(self, filename):
+        if self._bvh_records is None:
+            raise RuntimeError("build() before save()")
+        mesh_records, sphere_record = self._bvh_records
+        serialize.save_world_npy(
+            filename,
+            meshes_bvhs=mesh_records,
+            spheres_bvh=sphere_record,
+            environment=self.environment,
+            textures=self.textures.dump(),
+            environments=self.environments.dump(),
+        )
+
+    def load(self, filename, path_map=None) -> LegacyWorldData:
+        """Load a .world.npy (either schema era). The serialized BVHs are
+        used as-is (leaf-inlined primitive order, prim = arange)."""
+        data = serialize.load_world_npy(filename)
+        self.environment = data["environment"]
+
+        if data["textures"] is not None:
+            self.textures.load(data["textures"])
+        if data["environments"] is not None:
+            self.environments.load(data["environments"])
+        _default_environment(self.environments)
+        atlas_np = build_texture_atlas(self.textures.configs,
+                                       _content_size(self.textures.configs),
+                                       path_map=path_map)
+        env_np = build_environment_atlas(self.environments.configs,
+                                         _content_size(self.environments.configs),
+                                         path_map=path_map)
+
+        mesh_devices = []
+        for rec in data["meshes_bvhs"]:
+            bvh = _bvh_from_record(rec)
+            f = rec["faces"]
+            mesh_devices.append(_mesh_device(
+                rec["positions"], rec["normals"], rec["uvs"],
+                f["p"], f["n"], f["t"], f["tex"], bvh))
+
+        sphere_device = None
+        if data["spheres_bvh"] is not None:
+            rec = data["spheres_bvh"]
+            s = rec["spheres"]
+            sphere_device = SphereDeviceData(
+                center=jnp.asarray(s["center"]),
+                radius=jnp.asarray(s["radius"]),
+                transparency=jnp.asarray(s["transparency"].astype(np.float32)),
+                tex=jnp.asarray(s["texture_id"]),
+                bvh=_bvh_from_record(rec))
+
+        tex_low, tex_high = make_info_arrays(self.textures.configs)
+        env_low, env_high = make_info_arrays(self.environments.configs)
+        self._device = LegacyWorldData(
+            meshes=tuple(mesh_devices),
+            spheres=sphere_device,
+            atlas=TextureAtlas(packed=jnp.asarray(atlas_np),
+                               info_low=tex_low, info_high=tex_high),
+            envs=EnvironmentMaps(img=jnp.asarray(env_np),
+                                 info_low=env_low, info_high=env_high),
+            env_id=jnp.int32(self.environment or 0),
+        )
+        return self._device
+
+
+# --------------------------------------------------------------- tracing --
+
+def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits:
+    """Nearest hit across sphere BVH + all mesh BVHs, with materials sampled
+    from the texture atlas (15_module.py:838-848 + 864-953 semantics,
+    including the reference's choices: triangle normal mapping disabled,
+    sphere normal mapping enabled, fixed ior/absorptivity, and the
+    back-face flip with absorptivity zeroing from propagate_once :985-988)."""
+    n = rays.count
+    ro, rd = rays.ro, rays.rd
+
+    t_best = jnp.full((n,), jnp.inf, jnp.float32)
+    prim_best = jnp.full((n,), -1, jnp.int32)
+    src_best = jnp.full((n,), -1, jnp.int32)  # -1 none, 0 spheres, 1+k mesh k
+
+    if world.spheres is not None:
+        s = world.spheres
+        lt = make_sphere_leaf_test(s.center, s.radius, s.transparency, eps=eps)
+        t, p = traverse(s.bvh, ro, rd, lt, eps=eps)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        prim_best = jnp.where(better, p, prim_best)
+        src_best = jnp.where(better, 0, src_best)
+
+    for k, mesh in enumerate(world.meshes):
+        lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
+        t, p = traverse(mesh.bvh, ro, rd, lt, eps=eps)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        prim_best = jnp.where(better, p, prim_best)
+        src_best = jnp.where(better, 1 + k, src_best)
+
+    hit_mask = jnp.isfinite(t_best)
+    t_safe = jnp.where(hit_mask, t_best, 0.0)
+    point = ro + t_safe[:, None] * rd
+    pidx = jnp.maximum(prim_best, 0)
+
+    normal = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+    uv = jnp.zeros((n, 2), jnp.float32)
+    albedo = jnp.zeros((n, 3), jnp.float32)
+    roughness = jnp.zeros((n,), jnp.float32)
+    metallic = jnp.zeros((n,), jnp.float32)
+    transparency = jnp.zeros((n,), jnp.float32)
+
+    atlas = world.atlas
+
+    if world.spheres is not None:
+        s = world.spheres
+        m = src_best == 0
+        c = jnp.take(s.center, pidx, axis=0)
+        r = jnp.take(s.radius, pidx, axis=0)
+        nv = (point - c) / jnp.maximum(r, 1e-20)[:, None]
+        # spherical tangent frame + lat/long UV (15_module.py:874-882)
+        rr = jnp.sqrt(jnp.maximum(nv[:, 0] ** 2 + nv[:, 2] ** 2, 1e-20))
+        tang = jnp.stack([nv[:, 2] / rr, jnp.zeros_like(rr), -nv[:, 0] / rr], -1)
+        bitang = jnp.stack([nv[:, 0] * nv[:, 1], -rr, nv[:, 2] * nv[:, 1]], -1)
+        phi = jnp.arcsin(jnp.clip(nv[:, 1], -1.0, 1.0))
+        theta = jnp.arctan2(-nv[:, 0], -nv[:, 2])
+        su = (theta / jnp.pi + 1.0) / 2.0
+        sv = phi / jnp.pi + 0.5
+        tex_id = jnp.take(s.tex, pidx, axis=0)
+        tap = sample_bilinear(atlas.packed, atlas.info_low, atlas.info_high,
+                              tex_id, 2.0 * su, sv)
+        nc = tap[:, 3:6]
+        mapped = nc[:, 0:1] * tang + nc[:, 1:2] * bitang + nc[:, 2:3] * nv
+        mapped = mapped / jnp.maximum(
+            jnp.sqrt(jnp.sum(mapped * mapped, -1, keepdims=True)), 1e-20)
+        mm = m[:, None]
+        normal = jnp.where(mm, mapped, normal)
+        uv = jnp.where(mm, jnp.stack([su, sv], -1), uv)
+        albedo = jnp.where(mm, tap[:, 0:3], albedo)
+        roughness = jnp.where(m, tap[:, 6], roughness)
+        metallic = jnp.where(m, tap[:, 7], metallic)
+        transparency = jnp.where(m, jnp.take(s.transparency, pidx, axis=0),
+                                 transparency)
+
+    for k, mesh in enumerate(world.meshes):
+        m = src_best == (1 + k)
+        p1 = jnp.take(mesh.v0, pidx, axis=0)
+        p2 = jnp.take(mesh.v1, pidx, axis=0)
+        p3 = jnp.take(mesh.v2, pidx, axis=0)
+        w1, w2, w3 = triangle_barycentrics(p1, p2, p3, point)
+        sm_n, sm_uv, _tang, _bitang = interpolate_attributes(
+            w1, w2, w3,
+            jnp.take(mesh.n0, pidx, axis=0), jnp.take(mesh.n1, pidx, axis=0),
+            jnp.take(mesh.n2, pidx, axis=0),
+            jnp.take(mesh.uv0, pidx, axis=0), jnp.take(mesh.uv1, pidx, axis=0),
+            jnp.take(mesh.uv2, pidx, axis=0),
+            p1, p2, p3)
+        tex_id = jnp.take(mesh.tex, pidx, axis=0)
+        tap = sample_bilinear(atlas.packed, atlas.info_low, atlas.info_high,
+                              jnp.maximum(tex_id, 0), sm_uv[:, 0], sm_uv[:, 1])
+        mm = m[:, None]
+        # triangle normal mapping is computed but disabled in the reference
+        # (15_module.py:945) — smooth vertex normal wins
+        normal = jnp.where(mm, sm_n, normal)
+        uv = jnp.where(mm, sm_uv, uv)
+        albedo = jnp.where(mm, tap[:, 0:3], albedo)
+        roughness = jnp.where(m, tap[:, 6], roughness)
+        metallic = jnp.where(m, tap[:, 7], metallic)
+        # triangles are always opaque in the reference (:950)
+
+    ior = jnp.full((n,), LEGACY_IOR, jnp.float32)
+    absorptivity = jnp.full((n,), LEGACY_ABSORPTIVITY, jnp.float32)
+
+    # Back-face handling (propagate_once, 15_module.py:985-988): flip normal,
+    # invert ior, zero absorptivity.
+    backface = (jnp.sum(rd * normal, axis=-1) > 0.0) & hit_mask
+    normal = jnp.where(backface[:, None], -normal, normal)
+    ior = jnp.where(backface, 1.0 / ior, ior)
+    absorptivity = jnp.where(backface, 0.0, absorptivity)
+
+    mat = Materials(albedo=albedo, roughness=roughness, metallic=metallic,
+                    ior=ior, transparency=transparency,
+                    absorptivity=absorptivity)
+    return Hits(t=t_best, point=point, normal=normal, uv=uv,
+                obj=jnp.where(hit_mask, prim_best, -1), hit=hit_mask,
+                material=mat)
+
+
+def environment_color(envs: EnvironmentMaps, env_id, rd):
+    """Equirect IBL lookup (15_module.py:970-977)."""
+    phi = jnp.arcsin(jnp.clip(rd[:, 1], -1.0, 1.0))
+    theta = jnp.arctan2(-rd[:, 0], -rd[:, 2])
+    u = (theta / jnp.pi + 1.0) / 2.0
+    v = phi / jnp.pi + 0.5
+    ids = jnp.broadcast_to(jnp.asarray(env_id, jnp.int32), u.shape)
+    return sample_bilinear(envs.img, envs.info_low, envs.info_high, ids, u, v)

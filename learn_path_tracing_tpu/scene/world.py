@@ -46,6 +46,7 @@ class SphereWorldData:
     centers: jnp.ndarray       # f32[S,3] (padded; radius==0 marks padding)
     radii: jnp.ndarray         # f32[S]
     materials: Materials       # leaves [S,...]
+    bvh: object = None         # FlatBVH | None (legacy 11_bvh-style accel)
 
 
 class World:
@@ -63,9 +64,14 @@ class World:
     def size(self) -> int:
         return len(self.spheres)
 
-    def device(self) -> SphereWorldData:
-        """Upload the scene as padded SoA device arrays (cached)."""
-        if self._cache is None:
+    def device(self, use_bvh: bool = False) -> SphereWorldData:
+        """Upload the scene as padded SoA device arrays (cached).
+
+        ``use_bvh=True`` additionally builds the legacy-line SAH sphere BVH
+        (11_bvh.py) enabling ``hit(..., backend='bvh')``. The brute-force
+        MXU scan is usually faster on TPU for <~2k spheres.
+        """
+        if self._cache is None or (use_bvh and self._cache.bvh is None):
             n = len(self.spheres)
             if n == 0:
                 raise ValueError("empty world")
@@ -77,10 +83,19 @@ class World:
                 radii[k] = s.radius
             mats = [s.material for s in self.spheres]
             mats += [Material()] * (padded - n)
+            bvh = None
+            if use_bvh:
+                from ..accel.bvh import build_bvh
+
+                c = centers[:n]
+                r = radii[:n, None]
+                bvh = build_bvh(c - r, c + r, centroid=c, max_depth=8,
+                                max_leaf=4)
             self._cache = SphereWorldData(
                 centers=jnp.asarray(centers),
                 radii=jnp.asarray(radii),
                 materials=Materials.stack(mats),
+                bvh=bvh,
             )
         return self._cache
 
@@ -103,6 +118,15 @@ def hit(world: SphereWorldData, rays: Rays, t_min: float = 1e-4,
             rays.ro, rays.rd, world.centers, world.radii,
             world.materials.transparency, t_min=t_min,
         )
+    elif backend == "bvh":
+        from ..accel.traverse import make_sphere_leaf_test, traverse
+
+        if world.bvh is None:
+            raise ValueError("World.device(use_bvh=True) required for 'bvh'")
+        lt = make_sphere_leaf_test(world.centers, world.radii,
+                                   world.materials.transparency, eps=t_min)
+        t, idx = traverse(world.bvh, rays.ro, rays.rd, lt, eps=t_min)
+        idx = jnp.maximum(idx, 0)
     else:
         t, idx = intersect_spheres(
             rays.ro, rays.rd, world.centers, world.radii,
