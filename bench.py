@@ -27,6 +27,10 @@ def main():
     p.add_argument("--limit", type=int, default=32)
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--hit-backend", type=str, default="auto")
+    p.add_argument("--scene", type=str, default="10_final",
+                   choices=["10_final", "yoimiya"],
+                   help="10_final: sphere cover scene (headline); "
+                        "yoimiya: 23k-tri mesh BVH workload")
     args = p.parse_args()
 
     import jax
@@ -34,31 +38,46 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from learn_path_tracing_tpu.integrator.wavefront import render
-    from learn_path_tracing_tpu.models import random_scene, stage10_camera
+    from learn_path_tracing_tpu.integrator.persistent import render_persistent
+    from learn_path_tracing_tpu.utils.benchlib import time_fn
 
     res = (args.width, args.height)
-    world = random_scene(seed=20230328)
-    cam = stage10_camera(res)
-    wd = world.device()
-    cp = cam.params()
+    if args.scene == "10_final":
+        from learn_path_tracing_tpu.models import random_scene, stage10_camera
 
-    def run(spp, seed):
-        img, segs = render(wd, cp, res, spp=spp, limit=args.limit, seed=seed,
-                           hit_backend=args.hit_backend)
-        jax.block_until_ready(img)
-        return float(segs)
+        wd = random_scene(seed=20230328).device()
+        cp = stage10_camera(res).params()
+        scene_kind, bsdf = "spheres", "modern"
+        metric = "mrays_per_sec_chip_10final"
+    else:
+        import warnings
 
-    # Warm-up: compile + first device->host transfer (slow on tunneled runtimes)
-    run(args.spp, seed=1)
+        from learn_path_tracing_tpu.camera import Camera
+        from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
+        from learn_path_tracing_tpu.stages.legacy_common import make_asset_path_map
 
-    t0 = time.time()
-    segs = run(args.spp, seed=0)
-    elapsed = time.time() - t0
+        world = LegacyWorld()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            wd = world.load("/root/reference/legacy/Yoimiya.world.npy",
+                            path_map=make_asset_path_map())
+        cam = Camera(res)
+        cam.set_fov(30)
+        cam.set_position((0, 8, -30))
+        cam.look_at((0, 8, 0))
+        cp = cam.params()
+        scene_kind, bsdf = "legacy", "legacy"
+        metric = "bvh_mrays_per_sec_chip_yoimiya"
 
-    mrays = segs / elapsed / 1e6
+    def run(seed):
+        return render_persistent(wd, cp, res, spp=args.spp, limit=args.limit,
+                                 seed=seed, bsdf=bsdf, scene=scene_kind,
+                                 hit_backend=args.hit_backend)
+
+    dt, (img, segs) = time_fn(run, 0, iters=2)
+    mrays = float(segs) / dt / 1e6
     print(json.dumps({
-        "metric": "bvh_mrays_per_sec_chip_10final",
+        "metric": metric,
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 3),

@@ -121,20 +121,23 @@ def trace_sample_pixels(world_data, cam: CameraParams, resolution, pixel_ids,
 
 def trace_sample(world_data, cam: CameraParams, resolution, seed, sample,
                  limit: int, bsdf: str = "modern", camera_model: str = "thinlens",
-                 scene: str = "spheres", hit_backend: str = "auto"):
+                 scene: str = "spheres", hit_backend: str = "auto",
+                 early_exit: bool = True):
     """Trace one sample per pixel over the full pixel grid."""
     return trace_sample_pixels(
         world_data, cam, resolution, pixel_grid(resolution), seed, sample,
         limit, bsdf=bsdf, camera_model=camera_model, scene=scene,
-        hit_backend=hit_backend,
+        hit_backend=hit_backend, early_exit=early_exit,
     )
 
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
-                                   "camera_model", "scene", "hit_backend"))
+                                   "camera_model", "scene", "hit_backend",
+                                   "early_exit"))
 def render(world_data, cam: CameraParams, resolution, spp: int, limit: int = 32,
            seed=0, bsdf: str = "modern", camera_model: str = "thinlens",
-           scene: str = "spheres", hit_backend: str = "auto"):
+           scene: str = "spheres", hit_backend: str = "auto",
+           early_exit: bool = True):
     """Render ``spp`` samples/pixel; returns (image f32[W,H,3], segments).
 
     The image is mean linear radiance (the reference divides each
@@ -148,7 +151,7 @@ def render(world_data, cam: CameraParams, resolution, spp: int, limit: int = 32,
         radiance, segments = trace_sample(
             world_data, cam, resolution, seed, s, limit,
             bsdf=bsdf, camera_model=camera_model, scene=scene,
-            hit_backend=hit_backend,
+            hit_backend=hit_backend, early_exit=early_exit,
         )
         return acc + radiance, segs + segments
 
@@ -160,20 +163,47 @@ def render(world_data, cam: CameraParams, resolution, spp: int, limit: int = 32,
 
 
 @partial(jax.jit, static_argnames=("resolution", "spp_per_call", "limit", "bsdf",
-                                   "camera_model", "scene", "hit_backend"))
+                                   "camera_model", "scene", "hit_backend",
+                                   "early_exit"))
 def render_accumulate(world_data, cam: CameraParams, acc, sample_start,
                       resolution, spp_per_call: int, limit: int = 32, seed=0,
                       bsdf: str = "modern", camera_model: str = "thinlens",
-                      scene: str = "spheres", hit_backend: str = "auto"):
+                      scene: str = "spheres", hit_backend: str = "auto",
+                      early_exit: bool = True):
     """Progressive variant: add ``spp_per_call`` samples into ``acc`` [N,3]
-    starting at absolute sample index ``sample_start``. Returns new acc."""
+    starting at absolute sample index ``sample_start``.
+    Returns (new acc, ray segments traced this call)."""
 
-    def body(k, a):
-        radiance, _ = trace_sample(
+    def body(k, carry):
+        a, segs = carry
+        radiance, segments = trace_sample(
             world_data, cam, resolution, seed, sample_start + k, limit,
             bsdf=bsdf, camera_model=camera_model, scene=scene,
-            hit_backend=hit_backend,
+            hit_backend=hit_backend, early_exit=early_exit,
         )
-        return a + radiance
+        return a + radiance, segs + segments
 
-    return jax.lax.fori_loop(0, spp_per_call, body, acc)
+    return jax.lax.fori_loop(0, spp_per_call, body, (acc, jnp.float32(0.0)))
+
+
+def render_chunked(world_data, cam: CameraParams, resolution, spp: int,
+                   limit: int = 32, seed=0, chunk_spp: int = 8,
+                   bsdf: str = "modern", camera_model: str = "thinlens",
+                   scene: str = "spheres", hit_backend: str = "auto",
+                   early_exit: bool = True):
+    """Host-chunked render: dispatches the spp loop in ``chunk_spp``-sample
+    device calls. Functionally identical to ``render`` (same RNG counters);
+    exists because very long single executions can trip device watchdogs on
+    tunneled runtimes, and chunks pipeline via async dispatch anyway.
+    Returns (image f32[W,H,3], segments f32 scalar array)."""
+    w, h = resolution
+    acc = jnp.zeros((w * h, 3), jnp.float32)
+    segs_total = jnp.float32(0.0)
+    for s0 in range(0, spp, chunk_spp):
+        n_call = min(chunk_spp, spp - s0)
+        acc, segs = render_accumulate(
+            world_data, cam, acc, jnp.uint32(s0), resolution, n_call,
+            limit=limit, seed=seed, bsdf=bsdf, camera_model=camera_model,
+            scene=scene, hit_backend=hit_backend, early_exit=early_exit)
+        segs_total = segs_total + segs
+    return (acc / spp).reshape(w, h, 3), segs_total

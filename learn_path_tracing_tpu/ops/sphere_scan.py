@@ -7,9 +7,15 @@ quadratic-solve intermediate stays in VMEM (the pure-XLA formulation in
 geometry/sphere.py materializes ``[N, S]`` buffers through HBM, which is
 bandwidth-bound at full resolution).
 
-Layout: rays are passed transposed (``f32[3, N]``) so the wavefront axis is
-the 128-lane dimension; the sphere table is packed as ``f32[8, S]`` rows
-(cx, cy, cz, |c|²-r², transparent?, valid?, pad, pad) with S a lane multiple.
+v2 design notes:
+- the two per-(ray, sphere) dot products ride the MXU as
+  ``[3,B]ᵀ·[3,S]`` contractions against *prescaled* center rows
+  (``-C`` and ``-2C``), so ``half_b`` and the c-term are single adds;
+- rays are passed transposed (``f32[8, N]``: rows x,y,z of ro and rd plus
+  the precomputed per-ray ro·rd and ro·ro) so the wavefront axis is the
+  128-lane dimension;
+- the sphere table is packed ``f32[8, S]``: rows 0-2 = -center, 3-5 =
+  -2·center... (see _pack_table), with S padded to a lane multiple.
 """
 
 from __future__ import annotations
@@ -23,47 +29,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = 512     # rays per grid step
 SPHERE_CHUNK = 512  # sphere columns per inner iteration (bounds VMEM temps)
-_NEG = -1.0e30      # "minus infinity" stand-in that survives f32 arithmetic
+
+# ray-array rows
+_ROX, _ROY, _ROZ, _RDX, _RDY, _RDZ, _ODD, _OOO = range(8)
+# sphere-table rows: 0-2 = -c, 3-5 = -2c, 6 = |c|^2 - r^2, 7 = flags
+# flags: 1.0 valid opaque, 2.0 valid transparent, 0.0 padding
+_NEGC0, _NEGC1, _NEGC2, _M2C0, _M2C1, _M2C2, _CCC, _FLAG = range(8)
 
 
-def _kernel(spheres_ref, ro_ref, rd_ref, t_ref, idx_ref, *, s_total, t_min):
-    rox, roy, roz = ro_ref[0, :], ro_ref[1, :], ro_ref[2, :]
-    rdx, rdy, rdz = rd_ref[0, :], rd_ref[1, :], rd_ref[2, :]
-    o_dot_d = rox * rdx + roy * rdy + roz * rdz   # f32[B]
-    o_dot_o = rox * rox + roy * roy + roz * roz
+def _kernel(spheres_ref, rays_ref, t_ref, idx_ref, *, s_total, t_min):
+    rd3 = rays_ref[_RDX:_RDZ + 1, :]          # f32[3, B]
+    ro3 = rays_ref[_ROX:_ROZ + 1, :]
+    o_dot_d = rays_ref[_ODD, :]               # f32[B]
+    o_dot_o = rays_ref[_OOO, :]
 
-    t_best = jnp.full(rox.shape, jnp.inf, jnp.float32)
-    idx_best = jnp.zeros(rox.shape, jnp.int32)
+    t_best = jnp.full(o_dot_d.shape, jnp.inf, jnp.float32)
+    idx_best = jnp.zeros(o_dot_d.shape, jnp.int32)
 
+    dn = (((0,), (0,)), ((), ()))
     for s0 in range(0, s_total, SPHERE_CHUNK):
         sc = min(SPHERE_CHUNK, s_total - s0)
-        cx = spheres_ref[0, s0:s0 + sc]
-        cy = spheres_ref[1, s0:s0 + sc]
-        cz = spheres_ref[2, s0:s0 + sc]
-        ccc = spheres_ref[3, s0:s0 + sc]   # |c|^2 - r^2
-        transp = spheres_ref[4, s0:s0 + sc]
-        valid_s = spheres_ref[5, s0:s0 + sc]
+        negc = spheres_ref[_NEGC0:_NEGC2 + 1, s0:s0 + sc]    # [3, sc]
+        m2c = spheres_ref[_M2C0:_M2C2 + 1, s0:s0 + sc]
+        ccc = spheres_ref[_CCC, s0:s0 + sc]
+        flag = spheres_ref[_FLAG, s0:s0 + sc]
 
-        # Outer-product broadcasts: [B, 1] x [1, S_c] -> [B, S_c] in VMEM.
-        d_dot_c = rdx[:, None] * cx[None, :] + rdy[:, None] * cy[None, :] \
-            + rdz[:, None] * cz[None, :]
-        o_dot_c = rox[:, None] * cx[None, :] + roy[:, None] * cy[None, :] \
-            + roz[:, None] * cz[None, :]
-        half_b = o_dot_d[:, None] - d_dot_c
-        cterm = o_dot_o[:, None] - 2.0 * o_dot_c + ccc[None, :]
+        # MXU: half_b = ro·rd - rd·c ; cterm = ro·ro - 2 ro·c + (c·c - r²)
+        g1 = jax.lax.dot_general(rd3, negc, dn,
+                                 preferred_element_type=jnp.float32)  # [B,sc]
+        g2 = jax.lax.dot_general(ro3, m2c, dn,
+                                 preferred_element_type=jnp.float32)
+        half_b = o_dot_d[:, None] + g1
+        cterm = (o_dot_o[:, None] + g2) + ccc[None, :]
         disc = half_b * half_b - cterm
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t_near = -half_b - sq
-        t_far = -half_b + sq
-        t = jnp.where((t_near < t_min) & (transp[None, :] > 0.0), t_far, t_near)
-        ok = (disc >= 0.0) & (t >= t_min) & (valid_s[None, :] > 0.0)
+        use_far = (t_near < t_min) & (flag[None, :] > 1.5)
+        t = jnp.where(use_far, t_near + 2.0 * sq, t_near)
+        ok = (disc >= 0.0) & (t >= t_min) & (flag[None, :] > 0.5)
         t = jnp.where(ok, t, jnp.inf)
 
-        # Chunk-local min + argmin (argmin via max over encoded negatives so
-        # ties resolve to the lowest index, matching the reference's scan).
+        # chunk-local min + first-index argmin
         t_chunk = jnp.min(t, axis=1)
         col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        hit_col = jnp.where(t == t_chunk[:, None], col, jnp.int32(2**30))
+        hit_col = jnp.where(t == t_chunk[:, None], col, jnp.int32(2 ** 30))
         idx_chunk = jnp.min(hit_col, axis=1) + s0
 
         better = t_chunk < t_best
@@ -87,14 +96,19 @@ def intersect_spheres_pallas(ro, rd, centers, radii, transparency, t_min=1e-4,
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     s_pad = -(-s // 128) * 128
 
-    ro_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(ro.T)
-    rd_t = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(rd.T)
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[_ROX:_ROZ + 1, :n].set(ro.T)
+    rays = rays.at[_RDX:_RDZ + 1, :n].set(rd.T)
+    rays = rays.at[_ODD, :n].set(jnp.sum(ro * rd, axis=-1))
+    rays = rays.at[_OOO, :n].set(jnp.sum(ro * ro, axis=-1))
 
     table = jnp.zeros((8, s_pad), jnp.float32)
-    table = table.at[0:3, :s].set(centers.T)
-    table = table.at[3, :s].set(jnp.sum(centers * centers, -1) - radii * radii)
-    table = table.at[4, :s].set((transparency > 0).astype(jnp.float32))
-    table = table.at[5, :s].set((radii > 0).astype(jnp.float32))
+    table = table.at[_NEGC0:_NEGC2 + 1, :s].set(-centers.T)
+    table = table.at[_M2C0:_M2C2 + 1, :s].set(-2.0 * centers.T)
+    table = table.at[_CCC, :s].set(jnp.sum(centers * centers, -1) - radii * radii)
+    flags = jnp.where(radii > 0,
+                      jnp.where(transparency > 0, 2.0, 1.0), 0.0)
+    table = table.at[_FLAG, :s].set(flags)
 
     grid = (n_pad // RAY_BLOCK,)
     t, idx = pl.pallas_call(
@@ -102,8 +116,7 @@ def intersect_spheres_pallas(ro, rd, centers, radii, transparency, t_min=1e-4,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -114,5 +127,5 @@ def intersect_spheres_pallas(ro, rd, centers, radii, transparency, t_min=1e-4,
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
-    )(table, ro_t, rd_t)
+    )(table, rays)
     return t[0, :n], idx[0, :n]

@@ -23,6 +23,7 @@ from ..accel.traverse import (
     make_triangle_leaf_test,
     traverse,
 )
+from ..accel.wide import WideBVH, collapse, traverse_wide
 from ..core.pytree import pytree_dataclass
 from ..core.types import Hits, Materials, Rays
 from ..geometry.triangle import interpolate_attributes, triangle_barycentrics
@@ -57,6 +58,7 @@ class MeshDeviceData:
     uv2: jnp.ndarray
     tex: jnp.ndarray  # i32[T]
     bvh: FlatBVH
+    wide: object = None  # WideBVH | None — 8-ary layout for TPU traversal
 
 
 @pytree_dataclass
@@ -89,6 +91,7 @@ def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
         uv0=j(t[:, 0]), uv1=j(t[:, 1]), uv2=j(t[:, 2]),
         tex=j(face_tex.astype(np.int32)),
         bvh=bvh,
+        wide=collapse(bvh),
     )
 
 
@@ -337,7 +340,10 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
 
     for k, mesh in enumerate(world.meshes):
         lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
-        t, p = traverse(mesh.bvh, ro, rd, lt, eps=eps)
+        if mesh.wide is not None:
+            t, p = traverse_wide(mesh.wide, ro, rd, lt, eps=eps)
+        else:
+            t, p = traverse(mesh.bvh, ro, rd, lt, eps=eps)
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
         prim_best = jnp.where(better, p, prim_best)

@@ -110,7 +110,11 @@ def hit(world: SphereWorldData, rays: Rays, t_min: float = 1e-4,
     if backend == "auto":
         import jax
 
-        backend = "pallas" if jax.default_backend().startswith("tpu") else "xla"
+        # Pallas sphere-scan kernel everywhere except CPU. Note the TPU
+        # backend may be named 'tpu' OR 'axon' (remote-tunnel plugin) —
+        # matching on 'tpu' alone silently picks the XLA path, whose [N,S]
+        # HBM intermediates are ~100x slower at full resolution.
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
     if backend == "pallas":
         from ..ops.sphere_scan import intersect_spheres_pallas
 

@@ -57,7 +57,7 @@ class ProgressiveRenderer:
             w, h = self.resolution
             self.acc = jnp.zeros((w * h, 3), jnp.float32)
             self.spp = 0
-        self.acc = render_accumulate(
+        self.acc, _ = render_accumulate(
             self.world_data, self.camera.params(), self.acc,
             jnp.uint32(self.spp), self.resolution, self.spp_per_frame,
             limit=self.limit, seed=self.seed, bsdf=self.bsdf,

@@ -1,0 +1,77 @@
+"""Path-regeneration integrator vs reference-mode render: identical RNG
+counters and per-pixel accumulation order, so results agree to 1 ulp (XLA
+may contract FMAs differently between the two programs) and segment counts
+match exactly."""
+
+import numpy as np
+
+from learn_path_tracing_tpu.camera import Camera
+from learn_path_tracing_tpu.integrator.persistent import render_persistent
+from learn_path_tracing_tpu.integrator.wavefront import render
+from learn_path_tracing_tpu.models import stage6_scene, stage8_scene
+
+RES = (28, 20)
+
+
+def test_bitwise_equal_modern():
+    world = stage8_scene()
+    cam = Camera(RES)
+    cam.set_position((0, 0.4, 4))
+    wd = world.device()
+    a_img, a_seg = render(wd, cam.params(), RES, spp=6, limit=8, seed=11)
+    b_img, b_seg = render_persistent(wd, cam.params(), RES, spp=6, limit=8,
+                                     seed=11)
+    assert np.allclose(np.asarray(a_img), np.asarray(b_img),
+                       rtol=0, atol=5e-7)
+    assert float(a_seg) == float(b_seg)
+
+
+def test_bitwise_equal_diffuse():
+    world = stage6_scene()
+    cam = Camera(RES)
+    cam.set_position((0, 0, 4))
+    wd = world.device()
+    a_img, a_seg = render(wd, cam.params(), RES, spp=4, limit=16, seed=3,
+                          bsdf="diffuse")
+    b_img, b_seg = render_persistent(wd, cam.params(), RES, spp=4, limit=16,
+                                     seed=3, bsdf="diffuse")
+    assert np.allclose(np.asarray(a_img), np.asarray(b_img),
+                       rtol=0, atol=5e-7)
+    assert float(a_seg) == float(b_seg)
+
+
+def test_bitwise_equal_legacy_scene():
+    import warnings
+
+    from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
+    from learn_path_tracing_tpu.io.obj import MeshData
+    import numpy as _np
+
+    world = LegacyWorld()
+    world.add_mesh(MeshData(
+        positions=_np.array([[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]],
+                            _np.float32),
+        normals=_np.array([[0, 1, 0]], _np.float32),
+        uvs=_np.array([[0, 0], [1, 0], [1, 1], [0, 1]], _np.float32),
+        face_p=_np.array([[0, 1, 2], [0, 2, 3]], _np.int32),
+        face_n=_np.zeros((2, 3), _np.int32),
+        face_t=_np.array([[0, 1, 2], [0, 2, 3]], _np.int32),
+        face_tex=_np.zeros(2, _np.int32),
+    ))
+    world.add_sphere((0, 1, 0), 0.8, transparency=0, texture_id=0)
+    world.textures.add("missing", 0, size=(8, 8))
+    world.set_environment(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        wd = world.build()
+
+    cam = Camera(RES)
+    cam.set_position((0, 2, 6))
+    cam.look_at((0, 0.5, 0))
+    a_img, a_seg = render(wd, cam.params(), RES, spp=3, limit=6, seed=7,
+                          bsdf="legacy", scene="legacy")
+    b_img, b_seg = render_persistent(wd, cam.params(), RES, spp=3, limit=6,
+                                     seed=7, bsdf="legacy", scene="legacy")
+    assert np.allclose(np.asarray(a_img), np.asarray(b_img),
+                       rtol=0, atol=5e-7)
+    assert float(a_seg) == float(b_seg)
