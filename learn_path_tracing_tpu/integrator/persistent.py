@@ -5,19 +5,22 @@ dead rays (15_module.py:56-57,1032-1034). On TPU, masked lanes still burn
 VPU cycles, so a fixed bounce loop wastes ~(limit / avg_bounces)x of the
 intersection work. This integrator keeps every lane busy instead:
 
-- lane i permanently owns pixel i (no atomics, no scatter);
-- when a lane's path ends (escape, or bounce budget exhausted), it
-  immediately regenerates the *next sample's* primary ray for its pixel;
-- the single while_loop runs until every lane has finished all ``spp``
-  samples — occupancy stays near 100% until the final tail.
+- the render is a list of ``N*spp`` work items; item ``w`` is
+  (pixel = w // spp, sample = w % spp); lane ``i`` processes items
+  ``i, i+N, i+2N, ...`` — successive items on a lane land on *different*
+  pixels, so per-lane total path length concentrates around the mean and
+  the straggler tail stays small (unlike binding a lane to one pixel,
+  where a single glassy pixel serializes spp * max_bounce passes);
+- when a lane's path ends (escape or bounce budget), it immediately starts
+  its next work item's primary ray;
+- escaped radiance is scatter-added into the per-pixel accumulator
+  (deterministic XLA scatter; duplicate pixels within a pass are summed).
 
-Because the RNG is counter-based on (pixel, sample, bounce) and each pixel's
-samples are accumulated in ascending order by its one owning lane, the
-result matches integrator.wavefront.render to 1 ulp (identical math;
-XLA may contract FMAs differently between the two programs) with exactly
-equal traced-segment counts — verified in tests/test_persistent.py. This is the TPU-native replacement for the
-reference's bitmasked-pool compaction: instead of compacting rays toward
-lanes, work is regenerated in place.
+RNG streams are counter-based on absolute (pixel, sample, bounce), so this
+computes exactly the same per-sample radiance values as
+integrator.wavefront.render — only the per-pixel summation order differs
+(f32 reassociation ~1 ulp). Traced-segment counts match exactly
+(tests/test_persistent.py).
 """
 
 from __future__ import annotations
@@ -40,57 +43,76 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
                       hit_backend: str = "auto"):
-    """Returns (image f32[W,H,3], segments f32) — numerically identical to
-    wavefront.render with the same arguments (same counters, same order)."""
+    """Returns (image f32[W,H,3], segments f32). Same sample values as
+    wavefront.render; per-pixel sum order differs (~1 ulp)."""
     w, h = resolution
     n = w * h
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    total = n * spp
+    lanes = jnp.arange(n, dtype=jnp.uint32)
     scatter = SCATTERERS[bsdf]
     hit_fn, background_fn = _scene_fns(scene)
 
-    rays0 = generate_rays_for_pixels(cam, resolution, pix, seed,
-                                     jnp.zeros((n,), jnp.uint32),
-                                     model=camera_model)
+    def item_of(k):
+        """k-th work item of each lane → (valid, pixel u32[N], sample u32[N])."""
+        witem = lanes + k * jnp.uint32(n)
+        valid = witem < total
+        pixel = jnp.minimum(witem // jnp.uint32(spp), jnp.uint32(n - 1))
+        sample = witem % jnp.uint32(spp)
+        return valid, pixel, sample
+
+    def primary(pixel, sample):
+        return generate_rays_for_pixels(cam, resolution, pixel, seed, sample,
+                                        model=camera_model)
+
+    valid0, pix0, samp0 = item_of(jnp.uint32(0))
+    rays0 = primary(pix0, samp0)
+    rays0 = type(rays0)(ro=rays0.ro, rd=rays0.rd, throughput=rays0.throughput,
+                        alive=valid0)
 
     def cond(state):
-        rays = state[0]
-        return jnp.any(rays.alive)
+        return jnp.any(state[0].alive)
 
     def body(state):
-        rays, sample_idx, bounce, acc, segments = state
+        rays, k, pixel, sample, bounce, acc, segments = state
         hits = hit_fn(world_data, rays, hit_backend)
         segments = segments + jnp.sum(rays.alive.astype(jnp.float32))
 
         escaped = rays.alive & ~hits.hit
-        acc = acc + jnp.where(
+        contrib = jnp.where(
             escaped[:, None],
             background_fn(world_data, rays.rd) * rays.throughput, 0.0)
+        acc = acc.at[pixel].add(contrib)
 
-        base = rng.base(rng.stream(seed, sample_idx, bounce, rng.STREAM_BSDF),
-                        pix)
+        base = rng.base(rng.stream(seed, sample, bounce, rng.STREAM_BSDF),
+                        pixel)
         scattered = scatter(rays, hits, base)
         survived = rays.alive & hits.hit & (bounce + 1 < limit)
 
-        # paths that ended this pass regenerate their pixel's next sample
+        # lanes whose path ended advance to their next work item
         ended = rays.alive & ~survived
-        next_sample = sample_idx + ended.astype(jnp.uint32)
-        need_regen = ended & (next_sample < spp)
-        fresh = generate_rays_for_pixels(cam, resolution, pix, seed,
-                                         next_sample, model=camera_model)
+        next_k = k + ended.astype(jnp.uint32)
+        nvalid, npix, nsamp = item_of(next_k)
+        need_regen = ended & nvalid
+        fresh = primary(npix, nsamp)
 
-        rays = tree_where(survived, scattered, tree_where(need_regen, fresh, rays))
+        rays = tree_where(survived, scattered,
+                          tree_where(need_regen, fresh, rays))
         alive = survived | need_regen
         rays = type(rays)(ro=rays.ro, rd=rays.rd, throughput=rays.throughput,
                           alive=alive)
         bounce = jnp.where(survived, bounce + 1, jnp.uint32(0))
-        return rays, next_sample, bounce, acc, segments
+        pixel = jnp.where(survived, pixel, npix)
+        sample = jnp.where(survived, sample, nsamp)
+        return rays, next_k, pixel, sample, bounce, acc, segments
 
     state0 = (
         rays0,
         jnp.zeros((n,), jnp.uint32),
+        pix0,
+        samp0,
         jnp.zeros((n,), jnp.uint32),
         jnp.zeros((n, 3), jnp.float32),
         jnp.float32(0.0),
     )
-    _, _, _, acc, segments = jax.lax.while_loop(cond, body, state0)
+    _, _, _, _, _, acc, segments = jax.lax.while_loop(cond, body, state0)
     return (acc / spp).reshape(w, h, 3), segments

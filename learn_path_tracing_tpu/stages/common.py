@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..camera.camera import CameraParams, generate_rays
 from ..core import color, image
-from ..integrator.wavefront import render, sky_background
+from ..integrator.persistent import render_persistent
+from ..integrator.wavefront import sky_background
 from ..scene import world as world_mod
 
 
@@ -78,8 +79,9 @@ def run_path_traced(world, camera, args, out_name, bsdf="modern",
     cp = camera.params()
 
     start = time.time()
-    img, segs = render(wd, cp, res, spp=args.spp, limit=args.limit, seed=seed,
-                       bsdf=bsdf, camera_model=camera_model)
+    img, segs = render_persistent(wd, cp, res, spp=args.spp, limit=args.limit,
+                                  seed=seed, bsdf=bsdf,
+                                  camera_model=camera_model)
     if post:
         # keep post-processing inside jit — eager op dispatch is expensive
         img = jax.jit(color.post_process)(img)

@@ -1,0 +1,3 @@
+from . import benchlib, checks, config, profiling
+
+__all__ = ["benchlib", "checks", "config", "profiling"]
