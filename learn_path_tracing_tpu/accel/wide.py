@@ -9,7 +9,7 @@ per-iteration gather count (one wide-node row instead of many binary rows).
 Host side, a binary FlatBVH (accel/bvh.py) is collapsed by repeatedly
 expanding the largest-area frontier entry until each wide node has up to 8
 children; children are either inner wide nodes or leaf runs (contiguous
-prim ranges in the shared ``prim`` list, up to 63 prims per run).
+prim ranges in the shared ``prim`` list, capped at ``max_run`` prims).
 
 Device side, traversal runs the same lockstep while_loop as
 accel/traverse.py but with stack entries encoding either a wide-node index
@@ -28,19 +28,24 @@ from ..geometry.aabb import EPSILON
 from .bvh import FlatBVH
 
 WIDTH = 8
-_MAX_RUN = 63  # leaf-run length limit imposed by the stack encoding
+# Leaf-run length cap. The stack encoding allows up to 63, but the traversal
+# unrolls `max_leaf` primitive tests on EVERY iteration — fat runs (e.g. the
+# reference's depth-capped 63-prim leaves) multiply per-iteration gather
+# traffic ~16x. 8 balances unroll cost against extra stack pushes.
+DEFAULT_MAX_RUN = 8
+_ENC = 64  # run-length field width in the encoding
 
 _PAD = np.int32(-(2 ** 30))
 
 
 def _encode_leaf(start: int, count: int) -> int:
-    return -(start * 64 + count + 1)
+    return -(start * _ENC + count + 1)
 
 
 def decode_leaf(code):
     """code i32[N] → (start, count) for leaf entries (code < 0, != PAD)."""
     v = -(code + 1)
-    return v // 64, v % 64
+    return v // _ENC, v % _ENC
 
 
 @pytree_dataclass(meta_fields=("depth", "max_leaf"))
@@ -53,7 +58,8 @@ class WideBVH:
     max_leaf: int             # longest leaf run (<= 63)
 
 
-def collapse(flat: FlatBVH) -> WideBVH:
+def collapse(flat: FlatBVH, max_run: int = DEFAULT_MAX_RUN) -> WideBVH:
+    assert 1 <= max_run < _ENC
     left = np.asarray(flat.left)
     right = np.asarray(flat.right)
     low = np.asarray(flat.low)
@@ -69,7 +75,7 @@ def collapse(flat: FlatBVH) -> WideBVH:
         if data[e] < 0:
             return 1
         prims = int(cut[data[e] + 1] - cut[data[e]])
-        return max(1, -(-prims // _MAX_RUN))
+        return max(1, -(-prims // max_run))
 
     def frontier(b: int) -> list[int]:
         if data[b] >= 0:
@@ -89,7 +95,9 @@ def collapse(flat: FlatBVH) -> WideBVH:
             k = entries.index(pick)
             entries[k:k + 1] = [int(left[pick]), int(right[pick])]
 
+    # Phase 1: frontier selection per wide node (BFS over binary nodes).
     wide_children: list[list[int]] = []
+    binary_of_wide: list[int] = []
     wide_of_binary: dict[int, int] = {}
     queue = [0]
     depth_of = {0: 0}
@@ -99,52 +107,91 @@ def collapse(flat: FlatBVH) -> WideBVH:
         wide_of_binary[b] = len(wide_children)
         kids = frontier(b)
         wide_children.append(kids)
+        binary_of_wide.append(b)
         for e in kids:
             if data[e] < 0:
                 queue.append(e)
                 depth_of[e] = depth_of[b] + 1
                 max_depth = max(max_depth, depth_of[e])
 
-    m = len(wide_children)
-    child_low = np.full((m, WIDTH, 3), np.float32(np.inf))
-    child_high = np.full((m, WIDTH, 3), np.float32(-np.inf))
-    child_low = child_low.astype(np.float32)
-    child_high = child_high.astype(np.float32)
-    child_entry = np.full((m, WIDTH), _PAD, np.int32)
+    # Phase 2: flatten each wide node's children into slot entries.
+    # ('leaf', s, c, bin) | ('bin', bin) | ('cont', out_idx). Nodes whose
+    # content exceeds 8 slots chain into continuation nodes (slot 7 links).
+    out_slots: list[list[tuple]] = []
+    out_of_wide: dict[int, int] = {}
+    actual_max_run = 1
+    extra_depth = 0
 
-    max_run = 1
     for w, kids in enumerate(wide_children):
-        slot = 0
+        entries: list[tuple] = []
         for e in kids:
             if data[e] >= 0:
                 start = int(cut[data[e]])
                 end = int(cut[data[e] + 1])
                 s = start
                 while s < end:
-                    c = min(_MAX_RUN, end - s)
-                    if slot >= WIDTH:
-                        raise ValueError("wide-node slot overflow")
-                    child_low[w, slot] = low[e]
-                    child_high[w, slot] = high[e]
-                    child_entry[w, slot] = _encode_leaf(s, c)
-                    max_run = max(max_run, c)
+                    c = min(max_run, end - s)
+                    entries.append(("leaf", s, c, e))
+                    actual_max_run = max(actual_max_run, c)
                     s += c
-                    slot += 1
             else:
-                if slot >= WIDTH:
-                    raise ValueError("wide-node slot overflow")
-                child_low[w, slot] = low[e]
-                child_high[w, slot] = high[e]
-                child_entry[w, slot] = wide_of_binary[e]
-                slot += 1
+                entries.append(("bin", e))
+        out_of_wide[w] = len(out_slots)
+        chain = 0
+        while True:
+            if len(entries) <= WIDTH:
+                out_slots.append(entries)
+                break
+            head = entries[: WIDTH - 1]
+            rest = entries[WIDTH - 1:]
+            cont_idx = len(out_slots) + 1
+            out_slots.append(head + [("cont", cont_idx)])
+            entries = rest
+            chain += 1
+        extra_depth = max(extra_depth, chain)
+
+    m = len(out_slots)
+    child_low = np.full((m, WIDTH, 3), np.inf, dtype=np.float32)
+    child_high = np.full((m, WIDTH, 3), -np.inf, dtype=np.float32)
+    child_entry = np.full((m, WIDTH), _PAD, np.int32)
+
+    for o, entries in enumerate(out_slots):
+        for slot, ent in enumerate(entries):
+            if ent[0] == "leaf":
+                _, s, c, e = ent
+                child_low[o, slot] = low[e]
+                child_high[o, slot] = high[e]
+                child_entry[o, slot] = _encode_leaf(s, c)
+            elif ent[0] == "bin":
+                e = ent[1]
+                child_low[o, slot] = low[e]
+                child_high[o, slot] = high[e]
+                child_entry[o, slot] = out_of_wide[wide_of_binary[e]]
+            else:  # continuation: AABB = union of its remaining entries
+                cont = ent[1]
+                lo = np.full(3, np.inf, np.float32)
+                hi = np.full(3, -np.inf, np.float32)
+                stackq = [cont]
+                while stackq:
+                    oi = stackq.pop()
+                    for e2 in out_slots[oi]:
+                        if e2[0] == "cont":
+                            stackq.append(e2[1])
+                        else:
+                            b2 = e2[3] if e2[0] == "leaf" else e2[1]
+                            lo = np.minimum(lo, low[b2])
+                            hi = np.maximum(hi, high[b2])
+                child_low[o, slot] = lo
+                child_high[o, slot] = hi
+                child_entry[o, slot] = cont
 
     return WideBVH(
         child_low=jnp.asarray(child_low),
         child_high=jnp.asarray(child_high),
         child_entry=jnp.asarray(child_entry),
         prim=flat.prim,
-        depth=int(max_depth) + 1,
-        max_leaf=int(max_run),
+        depth=int(max_depth) + 1 + int(extra_depth) + 1,
+        max_leaf=int(actual_max_run),
     )
 
 

@@ -165,7 +165,7 @@ class LegacyWorld:
         self.environment = int(id)
 
     # ------------------------------------------------------------- build --
-    def build(self, mesh_max_depth=16, sphere_max_depth=8, max_leaf=4,
+    def build(self, mesh_max_depth=24, sphere_max_depth=12, max_leaf=4,
               path_map=None) -> LegacyWorldData:
         """Pack textures, build atlases and BVHs, upload device tables."""
         self.textures.build()
@@ -186,6 +186,8 @@ class LegacyWorld:
             phigh = tri_p.max(axis=1)
             bvh = build_bvh(plow, phigh, centroid=tri_p.mean(axis=1),
                             max_depth=mesh_max_depth, max_leaf=max_leaf)
+            # (mesh_max_depth default below keeps reference parity for
+            # serialization; traversal quality comes from the wide collapse)
             mesh_devices.append(_mesh_device(
                 mesh.positions, mesh.normals, mesh.uvs,
                 mesh.face_p, mesh.face_n, mesh.face_t, mesh.face_tex, bvh))
@@ -263,9 +265,17 @@ class LegacyWorld:
             environments=self.environments.dump(),
         )
 
-    def load(self, filename, path_map=None) -> LegacyWorldData:
-        """Load a .world.npy (either schema era). The serialized BVHs are
-        used as-is (leaf-inlined primitive order, prim = arange)."""
+    def load(self, filename, path_map=None,
+             rebuild_bvh: bool = True) -> LegacyWorldData:
+        """Load a .world.npy (either schema era).
+
+        ``rebuild_bvh=True`` (default) rebuilds the acceleration structures
+        from the serialized geometry with our build settings (depth 24,
+        max_leaf 4): the reference's depth-16-capped trees contain leaves of
+        up to ~60 primitives, which multiply the lockstep traversal's
+        per-iteration unroll cost ~15x. ``rebuild_bvh=False`` uses the
+        file's trees exactly as stored (parity/debugging).
+        """
         data = serialize.load_world_npy(filename)
         self.environment = data["environment"]
 
@@ -283,8 +293,14 @@ class LegacyWorld:
 
         mesh_devices = []
         for rec in data["meshes_bvhs"]:
-            bvh = _bvh_from_record(rec)
             f = rec["faces"]
+            if rebuild_bvh:
+                tri_p = rec["positions"][f["p"]]
+                bvh = build_bvh(tri_p.min(axis=1), tri_p.max(axis=1),
+                                centroid=tri_p.mean(axis=1),
+                                max_depth=24, max_leaf=4)
+            else:
+                bvh = _bvh_from_record(rec)
             mesh_devices.append(_mesh_device(
                 rec["positions"], rec["normals"], rec["uvs"],
                 f["p"], f["n"], f["t"], f["tex"], bvh))
@@ -293,12 +309,19 @@ class LegacyWorld:
         if data["spheres_bvh"] is not None:
             rec = data["spheres_bvh"]
             s = rec["spheres"]
+            if rebuild_bvh:
+                c = np.asarray(s["center"], np.float32)
+                r = np.asarray(s["radius"], np.float32)[:, None]
+                sbvh = build_bvh(c - r, c + r, centroid=c, max_depth=12,
+                                 max_leaf=4)
+            else:
+                sbvh = _bvh_from_record(rec)
             sphere_device = SphereDeviceData(
                 center=jnp.asarray(s["center"]),
                 radius=jnp.asarray(s["radius"]),
                 transparency=jnp.asarray(s["transparency"].astype(np.float32)),
                 tex=jnp.asarray(s["texture_id"]),
-                bvh=_bvh_from_record(rec))
+                bvh=sbvh)
 
         tex_low, tex_high = make_info_arrays(self.textures.configs)
         env_low, env_high = make_info_arrays(self.environments.configs)
