@@ -20,17 +20,40 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..geometry.aabb import aabb_hit
 from ..geometry.sphere import T_MIN
 from ..geometry.triangle import triangle_t
 from .bvh import FlatBVH
 
 
-def traverse(bvh: FlatBVH, ro, rd, leaf_test, eps: float = T_MIN):
+def stack_read(stack, col):
+    """Per-lane stack read: ``stack[i, col[i]]`` as a row-wise gather.
+
+    XLA lowers take_along_axis to a fast vectorized gather; plain
+    ``stack[rows, col]`` advanced indexing works too but the WRITE
+    counterpart (scatter) is serialized on TPU — see stack_write."""
+    return jnp.take_along_axis(stack, col[:, None], axis=1)[:, 0]
+
+
+def stack_write(stack, col, value, mask):
+    """Per-lane stack write as a one-hot select: ``stack[i, col[i]] = value[i]``
+    where ``mask[i]``. An ``[N, D]`` elementwise select costs ~N*D VPU ops —
+    microseconds — whereas ``stack.at[rows, col].set(...)`` lowers to an XLA
+    scatter that executes *serially* on TPU (~45 ns/row ⇒ seconds per
+    traversal). This one-hot form is the difference between the lockstep
+    traversal being compute-bound and being scatter-bound."""
+    d = stack.shape[1]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1) == col[:, None]
+    return jnp.where(onehot & mask[:, None], value[:, None], stack)
+
+
+def traverse(bvh: FlatBVH, ro, rd, leaf_test, eps: float = T_MIN,
+             t_init=None):
     """Nearest-hit traversal.
 
     ``leaf_test(prim_idx i32[N], valid bool[N], ro, rd) -> t f32[N]`` must
     return +inf for invalid/missed lanes and respect the epsilon cut.
+    ``t_init`` (optional f32[N]) seeds the best-t for cross-structure
+    pruning (e.g. a previous BVH's results); pruned-only hits keep prim=-1.
 
     Returns ``(t f32[N] (+inf miss), prim i32[N] (-1 miss))``.
     """
@@ -38,7 +61,6 @@ def traverse(bvh: FlatBVH, ro, rd, leaf_test, eps: float = T_MIN):
     depth_cap = bvh.max_depth + 2
     max_leaf = bvh.max_leaf
     n_prim = bvh.prim.shape[0]
-    rows = jnp.arange(n)
 
     def cond(state):
         sp = state[1]
@@ -48,11 +70,18 @@ def traverse(bvh: FlatBVH, ro, rd, leaf_test, eps: float = T_MIN):
         stack, sp, t_best, prim_best = state
         active = sp >= 0
         slot = jnp.clip(sp, 0, depth_cap - 1)
-        cur = stack[rows, slot]
+        cur = stack_read(stack, slot)
 
         low = jnp.take(bvh.low, cur, axis=0)
         high = jnp.take(bvh.high, cur, axis=0)
-        hitbox = aabb_hit(low, high, ro, rd) & active
+        inv = 1.0 / rd
+        ti_ = (low - ro) * inv
+        to_ = (high - ro) * inv
+        t1 = jnp.min(jnp.maximum(ti_, to_), axis=-1)
+        t0 = jnp.max(jnp.minimum(ti_, to_), axis=-1)
+        # slab test (15_module.py:851-861) + t-pruning: skip boxes whose
+        # entry distance can no longer beat the current best hit
+        hitbox = (t1 > t0 - eps) & (t1 > 0.0) & (t0 < t_best + eps) & active
 
         data = jnp.take(bvh.data, cur, axis=0)
         is_leaf = (data >= 0) & hitbox
@@ -75,16 +104,16 @@ def traverse(bvh: FlatBVH, ro, rd, leaf_test, eps: float = T_MIN):
         left = jnp.take(bvh.left, cur, axis=0)
         right = jnp.take(bvh.right, cur, axis=0)
         push = hitbox & ~is_leaf
-        stack = stack.at[rows, slot].set(jnp.where(push, left, stack[rows, slot]))
+        stack = stack_write(stack, slot, left, push)
         new_sp = jnp.where(push, sp + 1, jnp.where(active, sp - 1, sp))
         new_slot = jnp.clip(new_sp, 0, depth_cap - 1)
-        stack = stack.at[rows, new_slot].set(
-            jnp.where(push, right, stack[rows, new_slot]))
+        stack = stack_write(stack, new_slot, right, push)
         return stack, new_sp, t_best, prim_best
 
     stack0 = jnp.zeros((n, depth_cap), jnp.int32)
     sp0 = jnp.zeros((n,), jnp.int32)
-    t0 = jnp.full((n,), jnp.inf, jnp.float32)
+    t0 = (jnp.full((n,), jnp.inf, jnp.float32) if t_init is None
+          else jnp.asarray(t_init))
     p0 = jnp.full((n,), -1, jnp.int32)
     _, _, t_best, prim_best = jax.lax.while_loop(
         cond, body, (stack0, sp0, t0, p0))

@@ -195,11 +195,43 @@ def collapse(flat: FlatBVH, max_run: int = DEFAULT_MAX_RUN) -> WideBVH:
     )
 
 
-def traverse_wide(wbvh: WideBVH, ro, rd, leaf_test, eps: float = EPSILON):
-    """Nearest-hit over a WideBVH; same contract as accel.traverse.traverse."""
+# Batcher odd-even merge network for 8 elements (19 compare-exchanges).
+_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+          (1, 2), (3, 4), (5, 6)]
+
+
+def _sort8_by_key(key, val):
+    """Sort 8 (key, val) columns ascending by key — a vectorized sorting
+    network over [N, 8] arrays (19 masked swaps, all VPU)."""
+    for a, b in _SORT8:
+        swap = key[:, a] > key[:, b]
+        ka = jnp.where(swap, key[:, b], key[:, a])
+        kb = jnp.where(swap, key[:, a], key[:, b])
+        va = jnp.where(swap, val[:, b], val[:, a])
+        vb = jnp.where(swap, val[:, a], val[:, b])
+        key = key.at[:, a].set(ka).at[:, b].set(kb)
+        val = val.at[:, a].set(va).at[:, b].set(vb)
+    return key, val
+
+
+def traverse_wide(wbvh: WideBVH, ro, rd, leaf_test, eps: float = EPSILON,
+                  t_init=None):
+    """Nearest-hit over a WideBVH; same contract as accel.traverse.traverse.
+
+    Beyond the reference's unordered walk, this is an *ordered* DFS: hit
+    children are pushed near-to-far (8-wide sorting network on slab entry
+    distances) with their entry distance kept on a parallel f32 stack, and
+    popped entries whose recorded distance can no longer beat the current
+    best hit are discarded without any gathers — together these convert the
+    lockstep walk into best-first traversal and cut iteration counts by
+    multiples on deep meshes. Hit results are unchanged (pruning only skips
+    provably non-improving subtrees).
+    """
+    from .traverse import stack_read, stack_write
+
     n = ro.shape[0]
     cap = wbvh.depth * (WIDTH - 1) + 3
-    rows = jnp.arange(n)
     n_prim = wbvh.prim.shape[0]
     max_leaf = wbvh.max_leaf
 
@@ -211,12 +243,14 @@ def traverse_wide(wbvh: WideBVH, ro, rd, leaf_test, eps: float = EPSILON):
         return jnp.any(state[1] >= 0)
 
     def body(state):
-        stack, sp, t_best, prim_best = state
+        stack, stack_t, sp, t_best, prim_best = state
         active = sp >= 0
         slot = jnp.clip(sp, 0, cap - 1)
-        cur = stack[rows, slot]
-        is_node = active & (cur >= 0)
-        is_leaf = active & (cur < 0) & (cur != _PAD)
+        cur = stack_read(stack, slot)
+        cur_t0 = stack_read(stack_t, slot)
+        fresh = active & (cur_t0 < t_best + eps)  # stale entries just pop
+        is_node = fresh & (cur >= 0)
+        is_leaf = fresh & (cur < 0) & (cur != _PAD)
 
         # ---- leaf runs: up to max_leaf primitive tests ----
         start, count = decode_leaf(jnp.where(is_leaf, cur, jnp.int32(-1)))
@@ -240,26 +274,34 @@ def traverse_wide(wbvh: WideBVH, ro, rd, leaf_test, eps: float = EPSILON):
         t1 = jnp.min(jnp.maximum(ti_, to_), axis=-1)
         t0 = jnp.max(jnp.minimum(ti_, to_), axis=-1)
         hit8 = (t1 > t0 - eps) & (t1 > 0.0) & (entry != _PAD) \
-            & is_node[:, None]                                   # [N,8]
+            & (t0 < t_best[:, None] + eps) & is_node[:, None]     # [N,8]
 
-        push_count = jnp.sum(hit8.astype(jnp.int32), axis=1)
+        # near-to-far ordering: sort (t0, entry) ascending; missed slots get
+        # +inf keys and sink to the tail, so slot 0 = nearest hit child.
+        key = jnp.where(hit8, jnp.maximum(t0, 0.0), jnp.inf)
+        key, entry_sorted = _sort8_by_key(key, entry)
+        hit_sorted = jnp.isfinite(key)
+
+        push_count = jnp.sum(hit_sorted.astype(jnp.int32), axis=1)
         new_sp = jnp.where(
             active, sp - 1 + jnp.where(is_node, push_count, 0), sp)
 
-        # push so slot 0 ends on top (left-to-right DFS order):
+        # push so slot 0 ends on top (near child processed next):
         # slot k lands at (sp - 1 + #hit slots with index >= k)
-        suffix = jnp.cumsum(hit8[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1]
+        suffix = jnp.cumsum(
+            hit_sorted[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1]
         for k in range(WIDTH):
             pos = jnp.clip(sp - 1 + suffix[:, k], 0, cap - 1)
-            write = hit8[:, k]
-            stack = stack.at[rows, pos].set(
-                jnp.where(write, entry[:, k], stack[rows, pos]))
-        return stack, new_sp, t_best, prim_best
+            stack = stack_write(stack, pos, entry_sorted[:, k], hit_sorted[:, k])
+            stack_t = stack_write(stack_t, pos, key[:, k], hit_sorted[:, k])
+        return stack, stack_t, new_sp, t_best, prim_best
 
     stack0 = jnp.full((n, cap), _PAD, jnp.int32).at[:, 0].set(0)
+    stack_t0 = jnp.zeros((n, cap), jnp.float32)  # root entry distance 0
     sp0 = jnp.zeros((n,), jnp.int32)
-    t0_ = jnp.full((n,), jnp.inf, jnp.float32)
+    t0_ = (jnp.full((n,), jnp.inf, jnp.float32) if t_init is None
+           else jnp.asarray(t_init))
     p0 = jnp.full((n,), -1, jnp.int32)
-    _, _, t_best, prim_best = jax.lax.while_loop(
-        cond, body, (stack0, sp0, t0_, p0))
+    _, _, _, t_best, prim_best = jax.lax.while_loop(
+        cond, body, (stack0, stack_t0, sp0, t0_, p0))
     return t_best, prim_best

@@ -13,8 +13,10 @@ intersection work. This integrator keeps every lane busy instead:
   where a single glassy pixel serializes spp * max_bounce passes);
 - when a lane's path ends (escape or bounce budget), it immediately starts
   its next work item's primary ray;
-- escaped radiance is scatter-added into the per-pixel accumulator
-  (deterministic XLA scatter; duplicate pixels within a pass are summed).
+- escaped radiance is scatter-added into the per-pixel accumulator once
+  per pass (measured cheaper in-loop than a one-hot [spp, N, 3]
+  contribution buffer, whose full rewrite each pass costs ~2x more
+  bandwidth than the scatter's serialized updates).
 
 RNG streams are counter-based on absolute (pixel, sample, bounce), so this
 computes exactly the same per-sample radiance values as

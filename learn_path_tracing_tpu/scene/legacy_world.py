@@ -363,11 +363,13 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
 
     for k, mesh in enumerate(world.meshes):
         lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
+        # seed best-t with prior structures' results: later BVHs prune
+        # subtrees already occluded by earlier geometry
         if mesh.wide is not None:
-            t, p = traverse_wide(mesh.wide, ro, rd, lt, eps=eps)
+            t, p = traverse_wide(mesh.wide, ro, rd, lt, eps=eps, t_init=t_best)
         else:
-            t, p = traverse(mesh.bvh, ro, rd, lt, eps=eps)
-        better = t < t_best
+            t, p = traverse(mesh.bvh, ro, rd, lt, eps=eps, t_init=t_best)
+        better = (t < t_best) & (p >= 0)
         t_best = jnp.where(better, t, t_best)
         prim_best = jnp.where(better, p, prim_best)
         src_best = jnp.where(better, 1 + k, src_best)
