@@ -13,10 +13,15 @@ intersection work. This integrator keeps every lane busy instead:
   where a single glassy pixel serializes spp * max_bounce passes);
 - when a lane's path ends (escape or bounce budget), it immediately starts
   its next work item's primary ray;
-- escaped radiance is scatter-added into the per-pixel accumulator once
-  per pass (measured cheaper in-loop than a one-hot [spp, N, 3]
-  contribution buffer, whose full rewrite each pass costs ~2x more
-  bandwidth than the scatter's serialized updates).
+- escaped radiance accumulation exploits the work-item algebra: with
+  ``witem = lane + k*n`` and ``spp | n``, the target pixel decomposes as
+  ``pixel = group + k*(n/spp)`` where ``group = lane // spp`` is *static*
+  per lane and only ``k`` (the per-lane item counter, < spp) is dynamic.
+  The per-pixel scatter-add (measured 42 ms/pass in round 1 — XLA
+  serializes TPU scatters) therefore becomes a batched one-hot matmul
+  over the tiny spp axis into an ``[n/spp, spp, 3]`` accumulator, plus a
+  single transpose at the end. When ``spp`` does not divide ``n`` the
+  scatter fallback is used.
 
 RNG streams are counter-based on absolute (pixel, sample, bounce), so this
 computes exactly the same per-sample radiance values as
@@ -53,6 +58,8 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     lanes = jnp.arange(n, dtype=jnp.uint32)
     scatter = SCATTERERS[bsdf]
     hit_fn, background_fn = _scene_fns(scene)
+    matmul_acc = (n % spp == 0)
+    groups = n // spp if matmul_acc else 0
 
     def item_of(k):
         """k-th work item of each lane → (valid, pixel u32[N], sample u32[N])."""
@@ -74,6 +81,23 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     def cond(state):
         return jnp.any(state[0].alive)
 
+    def accumulate(acc, k, pixel, contrib):
+        """Add per-lane contributions to the accumulator.
+
+        matmul path: ``acc`` is ``f32[groups, spp, 3]`` indexed by
+        (lane//spp, k); one-hot over k rides the MXU as a batched
+        ``[spp,spp]x[spp,3]`` contraction — no scatter.
+        """
+        if not matmul_acc:
+            return acc.at[pixel].add(contrib)
+        k_g = k.reshape(groups, spp)
+        c_g = contrib.reshape(groups, spp, 3)
+        onehot = (k_g[:, :, None]
+                  == jnp.arange(spp, dtype=jnp.uint32)).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            onehot, c_g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
     def body(state):
         rays, k, pixel, sample, bounce, acc, segments = state
         hits = hit_fn(world_data, rays, hit_backend)
@@ -83,7 +107,7 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         contrib = jnp.where(
             escaped[:, None],
             background_fn(world_data, rays.rd) * rays.throughput, 0.0)
-        acc = acc.at[pixel].add(contrib)
+        acc = accumulate(acc, k, pixel, contrib)
 
         base = rng.base(rng.stream(seed, sample, bounce, rng.STREAM_BSDF),
                         pixel)
@@ -107,14 +131,19 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         sample = jnp.where(survived, sample, nsamp)
         return rays, next_k, pixel, sample, bounce, acc, segments
 
+    acc0 = (jnp.zeros((groups, spp, 3), jnp.float32) if matmul_acc
+            else jnp.zeros((n, 3), jnp.float32))
     state0 = (
         rays0,
         jnp.zeros((n,), jnp.uint32),
         pix0,
         samp0,
         jnp.zeros((n,), jnp.uint32),
-        jnp.zeros((n, 3), jnp.float32),
+        acc0,
         jnp.float32(0.0),
     )
     _, _, _, _, _, acc, segments = jax.lax.while_loop(cond, body, state0)
+    if matmul_acc:
+        # acc[g, k] holds pixel g + k*groups → transpose to pixel-major.
+        acc = acc.transpose(1, 0, 2).reshape(n, 3)
     return (acc / spp).reshape(w, h, 3), segments
