@@ -118,11 +118,42 @@ def hit(world: SphereWorldData, rays: Rays, t_min: float = 1e-4,
     if backend == "pallas":
         from ..ops.sphere_scan import intersect_spheres_pallas
 
-        t, idx = intersect_spheres_pallas(
+        # Pack per-sphere attributes as rows so the kernel's one-hot MXU
+        # epilogue gathers the winning sphere's data — XLA's row-takes on
+        # a [S] table are serialized on TPU (~52 ms/pass at 1280x720).
+        m = world.materials
+        attrs = jnp.stack([
+            world.centers[:, 0], world.centers[:, 1], world.centers[:, 2],
+            world.radii,
+            m.albedo[:, 0], m.albedo[:, 1], m.albedo[:, 2],
+            m.roughness, m.metallic, m.ior, m.transparency, m.absorptivity,
+            jnp.zeros_like(world.radii), jnp.zeros_like(world.radii),
+            jnp.zeros_like(world.radii), jnp.zeros_like(world.radii),
+        ])
+        t, idx, attr = intersect_spheres_pallas(
             rays.ro, rays.rd, world.centers, world.radii,
-            world.materials.transparency, t_min=t_min,
+            world.materials.transparency, t_min=t_min, attrs=attrs,
         )
-    elif backend == "bvh":
+
+        hit_mask = jnp.isfinite(t)
+        t_safe = jnp.where(hit_mask, t, 0.0)
+        point = rays.ro + t_safe[:, None] * rays.rd
+        center = attr[0:3].T
+        radius = attr[3]
+        normal = sphere_normal(point, center, radius)
+        backface = jnp.sum(rays.rd * normal, axis=-1) > 0.0
+        normal = jnp.where(backface[:, None], -normal, normal)
+        ior = jnp.where(backface, 1.0 / jnp.maximum(attr[9], 1e-9), attr[9])
+        mat = Materials(
+            albedo=attr[4:7].T, roughness=attr[7], metallic=attr[8],
+            ior=ior, transparency=attr[10], absorptivity=attr[11],
+        )
+        return Hits(
+            t=t, point=point, normal=normal,
+            uv=jnp.zeros((rays.count, 2), jnp.float32),
+            obj=jnp.where(hit_mask, idx, -1), hit=hit_mask, material=mat,
+        )
+    if backend == "bvh":
         from ..accel.traverse import make_sphere_leaf_test, traverse
 
         if world.bvh is None:
