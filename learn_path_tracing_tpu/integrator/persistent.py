@@ -45,14 +45,32 @@ from .wavefront import _scene_fns
 
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
-                                   "camera_model", "scene", "hit_backend"))
+                                   "camera_model", "scene", "hit_backend",
+                                   "engine"))
 def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
-                      hit_backend: str = "auto"):
+                      hit_backend: str = "auto", engine: str = "auto"):
     """Returns (image f32[W,H,3], segments f32). Same sample values as
-    wavefront.render; per-pixel sum order differs (~1 ulp)."""
+    wavefront.render; per-pixel sum order differs (~1 ulp).
+
+    ``engine``: 'mega' runs the whole pass as one fused Pallas kernel
+    (ops/bounce_megakernel.py — spheres + modern BSDF + thin-lens only,
+    spp | n); 'modular' composes the per-stage ops. 'auto' picks 'modular':
+    measured on v5e, the megakernel is ~1.6x *slower* (31.8 vs 50.6 Mrays/s
+    at 1280x720) because Mosaic's scalar-loop transcendental lowering loses
+    to XLA's fused wide elementwise pipeline for the BSDF/camera math — the
+    hybrid split (Pallas for the [rays, spheres] scan + one-hot gather, XLA
+    for [n]-wide shading) is the fast configuration. The megakernel's
+    sampling matches the modular path's RNG counters exactly but its
+    transcendental approximations differ at ~1e-4, so images agree within
+    MC noise rather than bitwise.
+    """
     w, h = resolution
+    if engine == "auto":
+        engine = "modular"
+    if engine == "mega":
+        return _render_mega(world_data, cam, resolution, spp, limit, seed)
     n = w * h
     total = n * spp
     lanes = jnp.arange(n, dtype=jnp.uint32)
@@ -61,8 +79,20 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     matmul_acc = (n % spp == 0)
     groups = n // spp if matmul_acc else 0
 
+    # With spp | n, the k-th item of each lane decomposes statically:
+    # sample = lane % spp (constant per lane) and pixel = lane//spp + k*G,
+    # so neither needs to live in the while-loop carry. The general case
+    # keeps the witem arithmetic.
+    sample_const = (lanes % jnp.uint32(spp)) if matmul_acc else None
+    group_const = (lanes // jnp.uint32(spp)) if matmul_acc else None
+
     def item_of(k):
         """k-th work item of each lane → (valid, pixel u32[N], sample u32[N])."""
+        if matmul_acc:
+            valid = jnp.broadcast_to(k < jnp.uint32(spp), lanes.shape)
+            pixel = group_const + k * jnp.uint32(groups)
+            pixel = jnp.minimum(pixel, jnp.uint32(n - 1))
+            return valid, pixel, sample_const
         witem = lanes + k * jnp.uint32(n)
         valid = witem < total
         pixel = jnp.minimum(witem // jnp.uint32(spp), jnp.uint32(n - 1))
@@ -99,7 +129,8 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
             preferred_element_type=jnp.float32)
 
     def body(state):
-        rays, k, pixel, sample, bounce, acc, segments = state
+        rays, k, bounce, acc, segments = state
+        _, pixel, sample = item_of(k)
         hits = hit_fn(world_data, rays, hit_backend)
         segments = segments + jnp.sum(rays.alive.astype(jnp.float32))
 
@@ -127,23 +158,83 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         rays = type(rays)(ro=rays.ro, rd=rays.rd, throughput=rays.throughput,
                           alive=alive)
         bounce = jnp.where(survived, bounce + 1, jnp.uint32(0))
-        pixel = jnp.where(survived, pixel, npix)
-        sample = jnp.where(survived, sample, nsamp)
-        return rays, next_k, pixel, sample, bounce, acc, segments
+        return rays, next_k, bounce, acc, segments
 
     acc0 = (jnp.zeros((groups, spp, 3), jnp.float32) if matmul_acc
             else jnp.zeros((n, 3), jnp.float32))
     state0 = (
         rays0,
         jnp.zeros((n,), jnp.uint32),
-        pix0,
-        samp0,
         jnp.zeros((n,), jnp.uint32),
         acc0,
         jnp.float32(0.0),
     )
-    _, _, _, _, _, acc, segments = jax.lax.while_loop(cond, body, state0)
+    _, _, _, acc, segments = jax.lax.while_loop(cond, body, state0)
     if matmul_acc:
         # acc[g, k] holds pixel g + k*groups → transpose to pixel-major.
         acc = acc.transpose(1, 0, 2).reshape(n, 3)
     return (acc / spp).reshape(w, h, 3), segments
+
+
+def _render_mega(world_data, cam: CameraParams, resolution, spp: int,
+                 limit: int, seed, interpret: bool | None = None):
+    """Fused-megakernel persistent render (see ops/bounce_megakernel.py)."""
+    from ..ops import bounce_megakernel as mk
+
+    if interpret is None:
+        # Pallas interpreter on CPU so the megakernel stays testable there.
+        interpret = jax.default_backend() == "cpu"
+
+    w, h = resolution
+    n = w * h
+    groups = n // spp
+    n_pad = -(-n // mk.RAY_BLOCK) * mk.RAY_BLOCK
+
+    table, attrs = mk.pack_scene(world_data)
+    scalf = mk.pack_camera(cam, resolution)
+    scali = jnp.asarray([seed], jnp.int32)
+
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    pix0 = lanes // jnp.uint32(spp)
+    samp0 = lanes % jnp.uint32(spp)
+    rays0 = generate_rays_for_pixels(cam, resolution, pix0, seed, samp0,
+                                     model="thinlens")
+    stf = jnp.zeros((16, n_pad), jnp.float32)
+    stf = stf.at[mk._RO:mk._RO + 3, :n].set(rays0.ro.T)
+    stf = stf.at[mk._RD:mk._RD + 3, :n].set(rays0.rd.T)
+    stf = stf.at[mk._THP:mk._THP + 3, :n].set(rays0.throughput.T)
+    stf = stf.at[mk._ALIVE, :n].set(1.0)
+    sti = jnp.zeros((8, n_pad), jnp.int32)
+
+    karange = jnp.arange(spp, dtype=jnp.int32)
+
+    def accumulate(acc, k, contrib):
+        # contrib rows f32[3, n_pad]; lane→(group, k) one-hot matmul as in
+        # the modular path (pad lanes/k>=spp fall outside the onehot).
+        k_g = k[:n].reshape(groups, spp)
+        c_g = contrib[:, :n].reshape(3, groups, spp)
+        onehot = (k_g[:, :, None] == karange).astype(jnp.float32)
+        # [g, r, k] x [c, g, r] -> [g, k, c]
+        delta = jnp.einsum("grk,cgr->gkc", onehot, c_g,
+                           preferred_element_type=jnp.float32)
+        return acc + delta
+
+    def cond(state):
+        stf, _, _, _ = state
+        return jnp.any(stf[mk._ALIVE] > 0.5)
+
+    def body(state):
+        stf, sti, acc, segments = state
+        segments = segments + jnp.sum(stf[mk._ALIVE, :])
+        k_in = sti[mk._K]
+        stf2, sti2 = mk.bounce_pass(stf, sti, table, attrs, scalf, scali,
+                                    resolution, spp, limit=limit,
+                                    interpret=interpret)
+        acc = accumulate(acc, k_in, stf2[mk._CONTRIB:mk._CONTRIB + 3])
+        return stf2, sti2, acc, segments
+
+    acc0 = jnp.zeros((groups, spp, 3), jnp.float32)
+    state0 = (stf, sti, acc0, jnp.float32(0.0))
+    _, _, acc, segments = jax.lax.while_loop(cond, body, state0)
+    img = acc.transpose(1, 0, 2).reshape(n, 3)
+    return (img / spp).reshape(w, h, 3), segments

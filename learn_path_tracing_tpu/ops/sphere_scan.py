@@ -63,12 +63,16 @@ def _kernel(spheres_ref, rays_ref, attrs_ref, t_ref, idx_ref, attr_ref, *,
         half_b = o_dot_d[:, None] + g1
         cterm = (o_dot_o[:, None] + g2) + ccc[None, :]
         disc = half_b * half_b - cterm
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # Lean validity: sqrt of a negative disc is NaN and every compare
+        # with NaN is false, so misses AND padding columns (ccc = +inf →
+        # disc = -inf) fall out of the single `t >= t_min` test — no
+        # explicit disc>=0 / flag>0.5 lanes. NaN/inf must be selected away
+        # BEFORE the min-reduce (min propagates NaN).
+        sq = jnp.sqrt(disc)
         t_near = -half_b - sq
         use_far = (t_near < t_min) & (flag[None, :] > 1.5)
         t = jnp.where(use_far, t_near + 2.0 * sq, t_near)
-        ok = (disc >= 0.0) & (t >= t_min) & (flag[None, :] > 0.5)
-        t = jnp.where(ok, t, jnp.inf)
+        t = jnp.where(t >= t_min, t, jnp.inf)
 
         # chunk-local min + first-index argmin
         t_chunk = jnp.min(t, axis=1)
@@ -119,10 +123,14 @@ def intersect_spheres_pallas(ro, rd, centers, radii, transparency, t_min=1e-4,
     rays = rays.at[_ODD, :n].set(jnp.sum(ro * rd, axis=-1))
     rays = rays.at[_OOO, :n].set(jnp.sum(ro * ro, axis=-1))
 
+    # Padding and radius<=0 columns get ccc = +inf so their disc is -inf
+    # (NaN after sqrt) — they can never win the nearest-hit min.
     table = jnp.zeros((8, s_pad), jnp.float32)
+    table = table.at[_CCC, :].set(jnp.inf)
     table = table.at[_NEGC0:_NEGC2 + 1, :s].set(-centers.T)
     table = table.at[_M2C0:_M2C2 + 1, :s].set(-2.0 * centers.T)
-    table = table.at[_CCC, :s].set(jnp.sum(centers * centers, -1) - radii * radii)
+    table = table.at[_CCC, :s].set(jnp.where(
+        radii > 0, jnp.sum(centers * centers, -1) - radii * radii, jnp.inf))
     flags = jnp.where(radii > 0,
                       jnp.where(transparency > 0, 2.0, 1.0), 0.0)
     table = table.at[_FLAG, :s].set(flags)
