@@ -240,7 +240,12 @@ def traverse_wide(wbvh: WideBVH, ro, rd, leaf_test, eps: float = EPSILON,
     inv = 1.0 / rd
 
     def cond(state):
-        return jnp.any(state[1] >= 0)
+        # state = (stack, stack_t, sp, t_best, prim_best); terminate when
+        # every lane's stack pointer has popped below 0. (Round-1 bug: this
+        # tested state[1] — the f32 distance stack, whose entries are >= 0
+        # forever — so the loop never ended: the CPU test suite hung and the
+        # TPU watchdog killed the worker.)
+        return jnp.any(state[2] >= 0)
 
     def body(state):
         stack, stack_t, sp, t_best, prim_best = state
