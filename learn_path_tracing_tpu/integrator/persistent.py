@@ -128,17 +128,16 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
             onehot, c_g, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
-    def body(state):
-        rays, k, bounce, acc, segments = state
-        _, pixel, sample = item_of(k)
+    def step(rays, k, bounce, pixel, sample, item_fn):
+        """One bounce pass; shared by the full-width and drain loops.
+        Returns (rays', k', bounce', contrib, live_count)."""
         hits = hit_fn(world_data, rays, hit_backend)
-        segments = segments + jnp.sum(rays.alive.astype(jnp.float32))
+        live = jnp.sum(rays.alive.astype(jnp.float32))
 
         escaped = rays.alive & ~hits.hit
         contrib = jnp.where(
             escaped[:, None],
-            background_fn(world_data, rays.rd) * rays.throughput, 0.0)
-        acc = accumulate(acc, k, pixel, contrib)
+            background_fn(world_data, rays.rd, escaped) * rays.throughput, 0.0)
 
         base = rng.base(rng.stream(seed, sample, bounce, rng.STREAM_BSDF),
                         pixel)
@@ -148,7 +147,7 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         # lanes whose path ended advance to their next work item
         ended = rays.alive & ~survived
         next_k = k + ended.astype(jnp.uint32)
-        nvalid, npix, nsamp = item_of(next_k)
+        nvalid, npix, nsamp = item_fn(next_k)
         need_regen = ended & nvalid
         fresh = primary(npix, nsamp)
 
@@ -158,7 +157,15 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         rays = type(rays)(ro=rays.ro, rd=rays.rd, throughput=rays.throughput,
                           alive=alive)
         bounce = jnp.where(survived, bounce + 1, jnp.uint32(0))
-        return rays, next_k, bounce, acc, segments
+        return rays, next_k, bounce, contrib, live
+
+    def body(state):
+        rays, k, bounce, acc, segments = state
+        _, pixel, sample = item_of(k)
+        rays, next_k, bounce, contrib, live = step(
+            rays, k, bounce, pixel, sample, item_of)
+        acc = accumulate(acc, k, pixel, contrib)
+        return rays, next_k, bounce, acc, segments + live
 
     acc0 = (jnp.zeros((groups, spp, 3), jnp.float32) if matmul_acc
             else jnp.zeros((n, 3), jnp.float32))
@@ -169,11 +176,83 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         acc0,
         jnp.float32(0.0),
     )
-    _, _, _, acc, segments = jax.lax.while_loop(cond, body, state0)
+
+    # Drain compaction: the static item schedule leaves a long straggler
+    # tail — the last few % of work can take most of the passes, each
+    # paying full-wavefront intersect/shade cost. Cascade: whenever the
+    # live-lane count falls below the next (8x narrower) width, argsort-
+    # compact the surviving lane state into that width, so tail passes cost
+    # 1/8, 1/64, ... of a full pass. Contributions in drain levels
+    # scatter-add into a flat pixel accumulator (cheap at narrow widths).
+    def _round256(v):
+        return -(-v // 256) * 256
+
+    levels = []
+    lw = _round256(n // 8)
+    while matmul_acc and lw >= 256 and lw < (levels[-1] if levels else n):
+        levels.append(lw)
+        lw = _round256(lw // 8)
+
+    if levels:
+        def cond1(state):
+            alive = state[0].alive
+            return jnp.any(alive) & (jnp.sum(alive.astype(jnp.int32))
+                                     > jnp.int32(levels[0]))
+    else:
+        cond1 = cond
+    rays, k, bounce, acc, segments = jax.lax.while_loop(
+        cond1, body, state0)
+
     if matmul_acc:
         # acc[g, k] holds pixel g + k*groups → transpose to pixel-major.
         acc = acc.transpose(1, 0, 2).reshape(n, 3)
-    return (acc / spp).reshape(w, h, 3), segments
+    acc_flat = acc
+
+    g_arr = lanes // jnp.uint32(spp)
+    samp_arr = lanes % jnp.uint32(spp) if matmul_acc else None
+    for li, lw in enumerate(levels):
+        order = jnp.argsort(jnp.logical_not(rays.alive), stable=True)
+        sel = order[:lw]
+        g_arr = jnp.take(g_arr, sel, axis=0)
+        samp_arr = jnp.take(samp_arr, sel, axis=0)
+        rays = type(rays)(
+            ro=jnp.take(rays.ro, sel, axis=0),
+            rd=jnp.take(rays.rd, sel, axis=0),
+            throughput=jnp.take(rays.throughput, sel, axis=0),
+            alive=jnp.take(rays.alive, sel, axis=0),
+        )
+        k = jnp.take(k, sel, axis=0)
+        bounce = jnp.take(bounce, sel, axis=0)
+
+        g_cur, samp_cur = g_arr, samp_arr
+
+        def item_of_d(kv, g_cur=g_cur, samp_cur=samp_cur):
+            valid = jnp.broadcast_to(kv < jnp.uint32(spp), kv.shape)
+            pixel = jnp.minimum(g_cur + kv * jnp.uint32(groups),
+                                jnp.uint32(n - 1))
+            return valid, pixel, samp_cur
+
+        next_w = levels[li + 1] if li + 1 < len(levels) else 0
+
+        def cond_d(state, next_w=next_w):
+            alive = state[0].alive
+            if next_w:
+                return jnp.any(alive) & (jnp.sum(alive.astype(jnp.int32))
+                                         > jnp.int32(next_w))
+            return jnp.any(alive)
+
+        def body_d(state, item_of_d=item_of_d, samp_cur=samp_cur):
+            rays, k, bounce, acc, segments = state
+            _, pixel, _ = item_of_d(k)
+            rays, next_k, bounce, contrib, live = step(
+                rays, k, bounce, pixel, samp_cur, item_of_d)
+            acc = acc.at[pixel].add(contrib)
+            return rays, next_k, bounce, acc, segments + live
+
+        rays, k, bounce, acc_flat, segments = jax.lax.while_loop(
+            cond_d, body_d, (rays, k, bounce, acc_flat, segments))
+
+    return (acc_flat / spp).reshape(w, h, 3), segments
 
 
 def _render_mega(world_data, cam: CameraParams, resolution, spp: int,

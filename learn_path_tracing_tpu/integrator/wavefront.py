@@ -44,12 +44,13 @@ def _scene_fns(scene: str):
     """
     if scene == "spheres":
         return (lambda w, r, hb: world_mod.hit(w, r, backend=hb),
-                lambda w, rd: sky_background(rd))
+                lambda w, rd, mask=None: sky_background(rd))
     if scene == "legacy":
         from ..scene.legacy_world import environment_color, hit_legacy
 
         return (lambda w, r, hb: hit_legacy(w, r),
-                lambda w, rd: environment_color(w.envs, w.env_id, rd))
+                lambda w, rd, mask=None: environment_color(
+                    w.envs, w.env_id, rd, mask=mask))
     raise ValueError(f"unknown scene kind: {scene!r}")
 
 
@@ -81,7 +82,8 @@ def trace_sample_pixels(world_data, cam: CameraParams, resolution, pixel_ids,
 
         escaped = rays.alive & ~hits.hit
         radiance = radiance + jnp.where(
-            escaped[:, None], background_fn(world_data, rays.rd) * rays.throughput,
+            escaped[:, None],
+            background_fn(world_data, rays.rd, escaped) * rays.throughput,
             0.0,
         )
 

@@ -253,10 +253,14 @@ def make_info_arrays(configs, max_id=None):
 
 
 def _gather2d(img, x, y):
-    """img f32[W,H,C]; x,y i32[N] → f32[N,C] (flat gather, one pass)."""
+    """img [W,H,C]; x,y i32[N] → f32[N,C] (flat gather, one pass).
+
+    The atlas may be stored bfloat16 (texture sources are 8-bit, so bf16's
+    mantissa is lossless headroom; halves the random-gather traffic that
+    dominates tap cost) — blend weights are always applied in f32."""
     w, h = img.shape[0], img.shape[1]
     flat = img.reshape(w * h, img.shape[2])
-    return jnp.take(flat, x * h + y, axis=0)
+    return jnp.take(flat, x * h + y, axis=0).astype(jnp.float32)
 
 
 def sample_bilinear(img, info_low, info_high, tex_id, u, v):

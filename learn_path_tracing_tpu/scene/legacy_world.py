@@ -58,7 +58,8 @@ class MeshDeviceData:
     uv2: jnp.ndarray
     tex: jnp.ndarray  # i32[T]
     bvh: FlatBVH
-    wide: object = None  # WideBVH | None — 8-ary layout for TPU traversal
+    wide: object = None    # WideBVH | None — 8-ary layout for TPU traversal
+    packet: tuple | None = None  # (nodes, entries, runs) Pallas packet tables
 
 
 @pytree_dataclass
@@ -81,17 +82,21 @@ class LegacyWorldData:
 
 def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
                  bvh: FlatBVH) -> MeshDeviceData:
+    from ..ops.packet_traverse import pack_packet_tables
+
     p = positions[face_p]          # [T,3,3]
     n = normals[face_n]
     t = uvs[face_t]
     j = jnp.asarray
+    wide = collapse(bvh)
     return MeshDeviceData(
         v0=j(p[:, 0]), v1=j(p[:, 1]), v2=j(p[:, 2]),
         n0=j(n[:, 0]), n1=j(n[:, 1]), n2=j(n[:, 2]),
         uv0=j(t[:, 0]), uv1=j(t[:, 1]), uv2=j(t[:, 2]),
         tex=j(face_tex.astype(np.int32)),
         bvh=bvh,
-        wide=collapse(bvh),
+        wide=wide,
+        packet=pack_packet_tables(wide, p[:, 0], p[:, 1], p[:, 2]),
     )
 
 
@@ -237,7 +242,7 @@ class LegacyWorld:
         self._device = LegacyWorldData(
             meshes=tuple(mesh_devices),
             spheres=sphere_device,
-            atlas=TextureAtlas(packed=jnp.asarray(atlas_np),
+            atlas=TextureAtlas(packed=jnp.asarray(atlas_np, jnp.bfloat16),
                                info_low=tex_low, info_high=tex_high),
             envs=EnvironmentMaps(img=jnp.asarray(env_np),
                                  info_low=env_low, info_high=env_high),
@@ -328,7 +333,7 @@ class LegacyWorld:
         self._device = LegacyWorldData(
             meshes=tuple(mesh_devices),
             spheres=sphere_device,
-            atlas=TextureAtlas(packed=jnp.asarray(atlas_np),
+            atlas=TextureAtlas(packed=jnp.asarray(atlas_np, jnp.bfloat16),
                                info_low=tex_low, info_high=tex_high),
             envs=EnvironmentMaps(img=jnp.asarray(env_np),
                                  info_low=env_low, info_high=env_high),
@@ -361,13 +366,27 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
         prim_best = jnp.where(better, p, prim_best)
         src_best = jnp.where(better, 0, src_best)
 
+    # The Pallas packet kernel is the mesh fast path on accelerators; the
+    # XLA lockstep walk stays as the CPU/portable fallback (Pallas interpret
+    # mode re-traces the in-kernel while_loop per block — far slower on CPU
+    # than the native XLA formulation).
+    import jax
+
+    use_packet = jax.default_backend() != "cpu"
     for k, mesh in enumerate(world.meshes):
-        lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
         # seed best-t with prior structures' results: later BVHs prune
         # subtrees already occluded by earlier geometry
-        if mesh.wide is not None:
+        if use_packet and mesh.packet is not None:
+            from ..ops.packet_traverse import packet_traverse
+
+            nodes, entries, runs = mesh.packet
+            t, p = packet_traverse(nodes, entries, runs, ro, rd,
+                                   t_init=t_best, active=rays.alive, eps=eps)
+        elif mesh.wide is not None:
+            lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
             t, p = traverse_wide(mesh.wide, ro, rd, lt, eps=eps, t_init=t_best)
         else:
+            lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
             t, p = traverse(mesh.bvh, ro, rd, lt, eps=eps, t_init=t_best)
         better = (t < t_best) & (p >= 0)
         t_best = jnp.where(better, t, t_best)
@@ -403,8 +422,10 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
         su = (theta / jnp.pi + 1.0) / 2.0
         sv = phi / jnp.pi + 0.5
         tex_id = jnp.take(s.tex, pidx, axis=0)
+        su_tap = jnp.where(m, su, 0.25)  # miss lanes tap one texel (see mesh)
+        sv_tap = jnp.where(m, sv, 0.5)
         tap = sample_bilinear(atlas.packed, atlas.info_low, atlas.info_high,
-                              tex_id, 2.0 * su, sv)
+                              tex_id, 2.0 * su_tap, sv_tap)
         nc = tap[:, 3:6]
         mapped = nc[:, 0:1] * tang + nc[:, 1:2] * bitang + nc[:, 2:3] * nv
         mapped = mapped / jnp.maximum(
@@ -432,8 +453,14 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
             jnp.take(mesh.uv2, pidx, axis=0),
             p1, p2, p3)
         tex_id = jnp.take(mesh.tex, pidx, axis=0)
+        # Collapse non-hit lanes' tap coords to one texel: their gathered
+        # values are discarded by the mask anyway, and pointing them all at
+        # the same cache line removes most of the random-access cost of the
+        # tap for sky-dominated wavefronts (the tap is latency-bound).
+        u_tap = jnp.where(m, sm_uv[:, 0], 0.5)
+        v_tap = jnp.where(m, sm_uv[:, 1], 0.5)
         tap = sample_bilinear(atlas.packed, atlas.info_low, atlas.info_high,
-                              jnp.maximum(tex_id, 0), sm_uv[:, 0], sm_uv[:, 1])
+                              jnp.maximum(tex_id, 0), u_tap, v_tap)
         mm = m[:, None]
         # triangle normal mapping is computed but disabled in the reference
         # (15_module.py:945) — smooth vertex normal wins
@@ -462,11 +489,19 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
                 material=mat)
 
 
-def environment_color(envs: EnvironmentMaps, env_id, rd):
-    """Equirect IBL lookup (15_module.py:970-977)."""
+def environment_color(envs: EnvironmentMaps, env_id, rd, mask=None):
+    """Equirect IBL lookup (15_module.py:970-977).
+
+    ``mask`` (bool[N], optional): lanes whose result is unused — their tap
+    coordinates collapse to one texel so the latency-bound random gather
+    only pays for lanes that actually escaped this pass.
+    """
     phi = jnp.arcsin(jnp.clip(rd[:, 1], -1.0, 1.0))
     theta = jnp.arctan2(-rd[:, 0], -rd[:, 2])
     u = (theta / jnp.pi + 1.0) / 2.0
     v = phi / jnp.pi + 0.5
+    if mask is not None:
+        u = jnp.where(mask, u, 0.5)
+        v = jnp.where(mask, v, 0.5)
     ids = jnp.broadcast_to(jnp.asarray(env_id, jnp.int32), u.shape)
     return sample_bilinear(envs.img, envs.info_low, envs.info_high, ids, u, v)
