@@ -35,12 +35,22 @@ from ..core.pytree import pytree_dataclass
 # ---------------------------------------------------------------- packing --
 
 class TextureManager:
-    """Guillotine bin packer for atlas rectangles."""
+    """Guillotine bin packer for atlas rectangles.
+
+    Compatibility constraint: placements must reproduce the reference
+    packer's decisions exactly (15_module.py:456-501 semantics — tallest-
+    first order, first-fit over the free list, band split with the right
+    sliver scanned before the upper band), because packed rects are
+    serialized into ``.world.npy`` files and sampled by rect coordinates.
+    The implementation below is our own; only the decision procedure is
+    pinned by the file format.
+    """
 
     def __init__(self, size):
         self.size = (int(size[0]), int(size[1]))
         self.configs: list[dict] = []
-        self.tree: list[list[int]] = []
+        # free regions as (x, y, w, h) tuples, scanned front-to-back
+        self._free: list[tuple[int, int, int, int]] = []
 
     def add(self, file_path, id, size=None):
         if size is None:
@@ -52,24 +62,27 @@ class TextureManager:
     def clear(self):
         self.configs = []
 
-    def _traverse_tree(self, size):
-        w, h = size
-        for i in range(len(self.tree)):
-            l, b, r, t = self.tree[i]
-            if r - l >= w and t - b >= h:
-                self.tree[i] = [l, b + h, r, t]
-                self.tree.insert(i, [l + w, b, r, b + h])
-                return {"low": (l, b), "high": (l + w, b + h)}
+    def _place(self, w, h):
+        """First-fit placement; splits the chosen region into a right
+        sliver (same height band, scanned first) and the band above."""
+        for i, (x, y, fw, fh) in enumerate(self._free):
+            if fw < w or fh < h:
+                continue
+            self._free[i:i + 1] = [(x + w, y, fw - w, h),
+                                   (x, y + h, fw, fh - h)]
+            return {"low": (x, y), "high": (x + w, y + h)}
         return None
 
     def build(self):
-        self.tree = [[0, 0, self.size[0], self.size[1]]]
-        self.configs.sort(key=lambda x: x["size"][0], reverse=True)
-        self.configs.sort(key=lambda x: x["size"][1], reverse=True)
+        self._free = [(0, 0, self.size[0], self.size[1])]
+        # tallest first, widest as tiebreaker (stable for equal sizes)
+        self.configs.sort(key=lambda c: (-c["size"][1], -c["size"][0]))
         for cfg in self.configs:
-            area = self._traverse_tree(cfg["size"])
+            area = self._place(*cfg["size"])
             if area is None:
-                raise MemoryError("Texture out of memory.")
+                raise MemoryError(
+                    "texture atlas full: no free region fits "
+                    f"{cfg['size']} (atlas {self.size})")
             cfg["area"] = area
 
     def dump(self):

@@ -20,22 +20,31 @@ from ..core import color, image
 from ..integrator.persistent import render_persistent
 from ..integrator.wavefront import sky_background
 from ..scene import world as world_mod
+from ..utils.config import RenderConfig
+
+# Per-device-call work-item budget (pixels * spp). Keeps each jit call well
+# under the TPU runtime watchdog (~100 s): at the measured ~70 Mrays/s a
+# chunk of 2.5e8 items (~3.7 bounces each) is ~13 s.
+CHUNK_WORK_ITEMS = 250_000_000
 
 
-def parse_args(default_res, default_spp=None, description=""):
+def parse_args(cfg: RenderConfig, description="") -> RenderConfig:
+    """CLI over a stage's RenderConfig preset; returns the merged config."""
     p = argparse.ArgumentParser(description=description)
-    p.add_argument("--width", type=int, default=default_res[0])
-    p.add_argument("--height", type=int, default=default_res[1])
-    if default_spp is not None:
-        p.add_argument("--spp", type=int, default=default_spp)
-    p.add_argument("--out", type=str, default=None)
-    p.add_argument("--limit", type=int, default=32, help="bounce limit")
+    p.add_argument("--width", type=int, default=cfg.width)
+    p.add_argument("--height", type=int, default=cfg.height)
+    p.add_argument("--spp", type=int, default=cfg.spp)
+    p.add_argument("--out", type=str, default=cfg.out)
+    p.add_argument("--limit", type=int, default=cfg.propagate_limit,
+                   help="bounce limit")
+    p.add_argument("--seed", type=int, default=cfg.seed)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu)")
-    args = p.parse_args()
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    return args
+    a = p.parse_args()
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
+    return cfg.with_(width=a.width, height=a.height, spp=a.spp, out=a.out,
+                     propagate_limit=a.limit, seed=a.seed)
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "camera_model"))
@@ -70,28 +79,51 @@ def render_normal_shaded_aa(world_data, cam: CameraParams, resolution, spp: int,
     return (acc / spp).reshape(w, h, 3)
 
 
-def run_path_traced(world, camera, args, out_name, bsdf="modern",
-                    camera_model="thinlens", seed=0, post=True):
+def run_path_traced(world, camera, cfg: RenderConfig, out_name,
+                    post=True):
     """Timed full render + post-process + PNG write (the render() pattern of
-    10_final/__main__.py:99-118)."""
-    res = (args.width, args.height)
+    10_final/__main__.py:99-118).
+
+    Long renders are split into spp chunks so no single device call exceeds
+    the TPU watchdog; chunk results average into the final image (each chunk
+    uses a distinct RNG seed, so this is plain progressive MC accumulation).
+    """
+    res = (cfg.width, cfg.height)
     wd = world.device()
     cp = camera.params()
 
+    n_pix = cfg.width * cfg.height
+    ideal = max(1, min(cfg.spp, CHUNK_WORK_ITEMS // n_pix))
+    # prefer a power-of-two chunk dividing the pixel count, so every chunk
+    # takes render_persistent's matmul accumulation path (needs spp | n)
+    chunk = ideal
+    for c in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2):
+        if c <= ideal and n_pix % c == 0:
+            chunk = c
+            break
     start = time.time()
-    img, segs = render_persistent(wd, cp, res, spp=args.spp, limit=args.limit,
-                                  seed=seed, bsdf=bsdf,
-                                  camera_model=camera_model)
+    acc = jnp.zeros((cfg.width, cfg.height, 3), jnp.float32)
+    segs_total, done = 0.0, 0
+    while done < cfg.spp:
+        s = min(chunk, cfg.spp - done)
+        img, segs = render_persistent(
+            wd, cp, res, spp=s, limit=cfg.propagate_limit,
+            seed=cfg.seed + done, bsdf=cfg.bsdf, scene=cfg.scene,
+            camera_model=cfg.camera_model, hit_backend=cfg.hit_backend)
+        acc = acc + img * (s / cfg.spp)
+        segs_total += float(segs)
+        done += s
+    img = acc
     if post:
         # keep post-processing inside jit — eager op dispatch is expensive
         img = jax.jit(color.post_process)(img)
     img = jax.block_until_ready(img)
     elapsed = time.time() - start
-    mrays = float(segs) / max(elapsed, 1e-9) / 1e6
-    print(f"Time elapsed: {elapsed:.2f}s  ({float(segs):.3e} ray segments, "
+    mrays = segs_total / max(elapsed, 1e-9) / 1e6
+    print(f"Time elapsed: {elapsed:.2f}s  ({segs_total:.3e} ray segments, "
           f"{mrays:.1f} Mrays/s)")
 
-    out = args.out or f"outputs/{out_name}"
+    out = cfg.out or f"outputs/{out_name}"
     image.write_png(img, out)
     print(f"wrote {out}")
     return img

@@ -15,6 +15,7 @@ from ..core.types import Material
 from ..integrator.wavefront import render
 from ..scene.world import Sphere, World
 from .common import parse_args
+from ..utils.config import STAGE_CONFIGS
 from .legacy_common import save_frame
 
 
@@ -51,7 +52,7 @@ def legacy_random_scene(size=11, seed=1234) -> World:
 
 
 def main():
-    args = parse_args((640, 360), default_spp=128, description=__doc__)
+    args = parse_args(STAGE_CONFIGS["l11"], description=__doc__)
     res = (args.width, args.height)
     world = legacy_random_scene()
     wd = world.device(use_bvh=True)

@@ -15,6 +15,7 @@ import jax
 from ..camera import Camera
 from ..viewer.progressive import ProgressiveRenderer
 from .common import parse_args
+from ..utils.config import STAGE_CONFIGS
 from .l11_bvh import legacy_random_scene
 from .legacy_common import save_frame
 
@@ -61,7 +62,7 @@ def main():
         del argv[i:i + 2]
     sys.argv[1:] = argv
 
-    args = parse_args((640, 360), default_spp=128, description=__doc__)
+    args = parse_args(STAGE_CONFIGS["l12"], description=__doc__)
     res = (args.width, args.height)
     world = legacy_random_scene()
     wd = world.device(use_bvh=True)

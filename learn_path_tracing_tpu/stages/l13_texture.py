@@ -10,11 +10,12 @@ from ..camera import Camera
 from ..integrator.wavefront import render
 from ..scene.legacy_world import LegacyWorld
 from .common import parse_args
+from ..utils.config import STAGE_CONFIGS
 from .legacy_common import make_asset_path_map, save_frame
 
 
 def main():
-    args = parse_args((1280, 720), default_spp=128, description=__doc__)
+    args = parse_args(STAGE_CONFIGS["l13"], description=__doc__)
     res = (args.width, args.height)
 
     world = LegacyWorld()

@@ -16,6 +16,7 @@ from ..camera import Camera
 from ..scene.legacy_world import LegacyWorld
 from ..viewer.progressive import ProgressiveRenderer
 from .common import parse_args
+from ..utils.config import STAGE_CONFIGS
 from .legacy_common import make_asset_path_map, save_frame
 
 REF_LEGACY = "/root/reference/legacy"
@@ -30,7 +31,7 @@ def main():
         del argv[i:i + 2]
     sys.argv[1:] = argv
 
-    args = parse_args((1500, 1000), default_spp=32, description=__doc__)
+    args = parse_args(STAGE_CONFIGS["l14"], description=__doc__)
     res = (args.width, args.height)
 
     path = world_name if world_name.endswith(".npy") \

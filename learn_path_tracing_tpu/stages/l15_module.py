@@ -19,6 +19,7 @@ from ..io.obj import load_obj
 from ..scene.legacy_world import LegacyWorld
 from ..viewer.progressive import ProgressiveRenderer
 from .common import parse_args
+from ..utils.config import STAGE_CONFIGS
 from .legacy_common import make_asset_path_map, save_frame
 
 ASSETS = "/root/reference/assets"
@@ -57,7 +58,7 @@ def main():
         del argv[i:i + 2]
     sys.argv[1:] = argv
 
-    args = parse_args((1500, 1000), default_spp=32, description=__doc__)
+    args = parse_args(STAGE_CONFIGS["l15"], description=__doc__)
     res = (args.width, args.height)
 
     wd = build_yoimiya_world(save_path="outputs/Yoimiya.world.npy")

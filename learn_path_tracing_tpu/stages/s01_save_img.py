@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from ..core import image
 from .common import parse_args
+from ..utils.config import STAGE_CONFIGS
 
 
 @jax.jit
@@ -20,7 +21,7 @@ def shader(resolution_w, resolution_h):
 
 
 def main():
-    args = parse_args((256, 256), description=__doc__)
+    args = parse_args(STAGE_CONFIGS[1], description=__doc__)
     start = time.time()
     img = jax.block_until_ready(shader(args.width, args.height))
     print(f"Time elapsed: {time.time() - start:.2f}s")

@@ -10,10 +10,11 @@ from ..camera.camera import generate_rays
 from ..core import image
 from ..integrator.wavefront import sky_background
 from .common import parse_args
+from ..utils.config import STAGE_CONFIGS
 
 
 def main():
-    args = parse_args((1280, 720), description=__doc__)
+    args = parse_args(STAGE_CONFIGS[2], description=__doc__)
     res = (args.width, args.height)
     cam = Camera(res)
     cam.set_direction(0, 30, 0)

@@ -9,10 +9,11 @@ from ..camera import Camera
 from ..core import image
 from ..models import stage4_scene
 from .common import parse_args, render_normal_shaded_aa
+from ..utils.config import STAGE_CONFIGS
 
 
 def main():
-    args = parse_args((1280, 720), default_spp=100, description=__doc__)
+    args = parse_args(STAGE_CONFIGS[5], description=__doc__)
     res = (args.width, args.height)
     cam = Camera(res)
     cam.set_direction(0, 0)

@@ -4,14 +4,15 @@
 from ..camera import Camera
 from ..models import stage6_scene
 from .common import parse_args, run_path_traced
+from ..utils.config import STAGE_CONFIGS
 
 
 def main():
-    args = parse_args((1280, 720), default_spp=8192, description=__doc__)
+    args = parse_args(STAGE_CONFIGS[6], description=__doc__)
     cam = Camera((args.width, args.height))
     cam.set_direction(0, 0)
     cam.set_position((0.0, 0.0, 4.0))
-    run_path_traced(stage6_scene(), cam, args, "6_diffuse.png", bsdf="diffuse")
+    run_path_traced(stage6_scene(), cam, args, "6_diffuse.png")
 
 
 if __name__ == "__main__":

@@ -3,10 +3,11 @@
 from ..camera import Camera
 from ..models import stage7_scene
 from .common import parse_args, run_path_traced
+from ..utils.config import STAGE_CONFIGS
 
 
 def main():
-    args = parse_args((1280, 720), default_spp=8192, description=__doc__)
+    args = parse_args(STAGE_CONFIGS[7], description=__doc__)
     cam = Camera((args.width, args.height))
     cam.set_direction(0, 0)
     cam.set_position((0.0, 0.0, 4.0))

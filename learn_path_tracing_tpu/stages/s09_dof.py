@@ -6,10 +6,11 @@ import math
 from ..camera import Camera
 from ..models import stage8_scene
 from .common import parse_args, run_path_traced
+from ..utils.config import STAGE_CONFIGS
 
 
 def main():
-    args = parse_args((1280, 720), default_spp=8192, description=__doc__)
+    args = parse_args(STAGE_CONFIGS[9], description=__doc__)
     cam = Camera((args.width, args.height))
     cam.set_position((3.0, 0.5, 2.0))
     cam.look_at((0.0, 0.35, 0.0))

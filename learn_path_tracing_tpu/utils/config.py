@@ -24,10 +24,15 @@ class RenderConfig:
     camera_model: str = "thinlens"
     hit_backend: str = "auto"     # auto | xla | pallas | bvh
     early_exit: bool = True
+    out: str | None = None        # output path override (stages/CLI)
 
     @property
     def resolution(self):
         return (self.width, self.height)
+
+    @property
+    def limit(self):
+        return self.propagate_limit
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)
@@ -36,17 +41,26 @@ class RenderConfig:
         return asdict(self)
 
 
-# Stage presets (file:line cites in stages/*.py)
+# Stage presets (file:line cites in stages/*.py). Keys: modern stages 1-10,
+# legacy stages as "l11".."l15".
 STAGE_CONFIGS = {
+    1: RenderConfig(width=256, height=256, spp=1),
+    2: RenderConfig(spp=1),
+    3: RenderConfig(spp=1),
+    4: RenderConfig(spp=1),
+    5: RenderConfig(spp=100),
     6: RenderConfig(spp=8192, bsdf="diffuse"),
     7: RenderConfig(spp=8192),
     8: RenderConfig(spp=8192),
     9: RenderConfig(spp=8192),
     10: RenderConfig(spp=8192),
-    11: RenderConfig(width=640, height=360, spp=128, propagate_limit=10,
-                     bsdf="legacy", hit_backend="bvh"),
-    14: RenderConfig(width=1500, height=1000, spp=32, bsdf="legacy",
-                     scene="legacy"),
-    15: RenderConfig(width=1500, height=1000, spp=32, bsdf="legacy",
-                     scene="legacy"),
+    "l11": RenderConfig(width=640, height=360, spp=128, propagate_limit=10,
+                        bsdf="legacy", hit_backend="bvh"),
+    "l12": RenderConfig(width=640, height=360, spp=128, propagate_limit=10,
+                        bsdf="legacy"),
+    "l13": RenderConfig(spp=128, bsdf="legacy"),
+    "l14": RenderConfig(width=1500, height=1000, spp=32, bsdf="legacy",
+                        scene="legacy"),
+    "l15": RenderConfig(width=1500, height=1000, spp=32, bsdf="legacy",
+                        scene="legacy"),
 }
