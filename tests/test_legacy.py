@@ -188,7 +188,18 @@ def test_world_npy_roundtrip(tmp_path):
     assert np.allclose(s["center"], [[0, 1, 2]])
     assert s["transparency"][0] == 1
 
-    # and the loaded file renders identically to the built world
+
+@pytest.mark.slow  # compiles hit_legacy twice (~40 s/core)
+def test_world_npy_roundtrip_renders_identically(tmp_path):
+    world = LegacyWorld()
+    world.add_mesh(_quad_mesh())
+    world.add_sphere((0, 1, 2), 0.5, transparency=1, texture_id=0)
+    world.textures.add("missing_texture", 0, size=(8, 8))
+    world.set_environment(0)
+    with pytest.warns(UserWarning):
+        world.build()
+    path = str(tmp_path / "x.world.npy")
+    world.save(path)
     world2 = LegacyWorld()
     with pytest.warns(UserWarning):
         wd2 = world2.load(path)
@@ -332,6 +343,7 @@ def test_render_legacy_end_to_end():
 
 
 @needs_ref
+@pytest.mark.slow  # full legacy render graph compile (~20 s/core)
 def test_demo_world_renders():
     world = LegacyWorld()
     import warnings

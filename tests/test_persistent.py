@@ -40,6 +40,10 @@ def test_bitwise_equal_diffuse():
     assert float(a_seg) == float(b_seg)
 
 
+import pytest
+
+
+@pytest.mark.slow  # compiles two full legacy integrator graphs (~80 s/core)
 def test_bitwise_equal_legacy_scene():
     import warnings
 

@@ -34,7 +34,11 @@ def test_collapse_structure(np_rng):
     assert inner.max(initial=0) < entry.shape[0]
 
 
-@pytest.mark.parametrize("max_depth,max_leaf", [(12, 4), (6, 4), (16, 2)])
+@pytest.mark.parametrize(
+    "max_depth,max_leaf",
+    [(12, 4),
+     pytest.param(6, 4, marks=pytest.mark.slow),
+     pytest.param(16, 2, marks=pytest.mark.slow)])
 def test_wide_matches_binary_spheres(np_rng, max_depth, max_leaf):
     n_s, n_r = 300, 400
     c = np_rng.normal(size=(n_s, 3)).astype(np.float32) * 5
@@ -83,13 +87,16 @@ def test_wide_matches_binary_triangles(np_rng):
 
 
 def test_wide_fat_leaves(np_rng):
-    """Depth-capped trees produce >8-prim leaves; runs must split cleanly."""
-    n = 600
+    """Depth-capped trees produce >8-prim leaves; runs must split cleanly.
+
+    Small n keeps the binary traversal's per-leaf unroll compile time sane
+    on one CPU core while leaves still exceed the 8-slot run width."""
+    n = 150
     c = np_rng.normal(size=(n, 3)).astype(np.float32)
     r = np_rng.uniform(0.05, 0.2, size=n).astype(np.float32)
     tr = np.zeros(n, np.float32)
     flat = build_bvh(c - r[:, None], c + r[:, None], centroid=c,
-                     max_depth=3, max_leaf=4)  # leaves up to ~75 prims
+                     max_depth=3, max_leaf=4)  # leaves ~19 prims (>8)
     wide = collapse(flat)
     assert wide.max_leaf <= 63
     ro = np_rng.normal(size=(100, 3)).astype(np.float32) * 2
