@@ -26,7 +26,7 @@ from ..accel.traverse import (
 from ..accel.wide import WideBVH, collapse, traverse_wide
 from ..core.pytree import pytree_dataclass
 from ..core.types import Hits, Materials, Rays
-from ..geometry.triangle import interpolate_attributes, triangle_barycentrics
+from ..geometry.triangle import triangle_barycentrics
 from ..io.obj import MeshData
 from ..io.texture import (
     EnvironmentMaps,
@@ -78,6 +78,12 @@ class LegacyWorldData:
     atlas: TextureAtlas
     envs: EnvironmentMaps
     env_id: jnp.ndarray      # i32 scalar
+    # Deferred-shading table: all meshes' per-triangle attributes packed into
+    # one row-per-triangle array so the post-traversal shading pass costs ONE
+    # gather regardless of mesh count (XLA `take` is the measured bottleneck
+    # of the legacy hit path). Columns: v0 v1 v2 (9), n0 n1 n2 (9),
+    # uv0 uv1 uv2 (6), tex (1, f32-encoded id), pad → 32.
+    tri_attr: jnp.ndarray | None = None   # f32[sum(T_k), 32]
 
 
 def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
@@ -98,6 +104,25 @@ def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
         wide=wide,
         packet=pack_packet_tables(wide, p[:, 0], p[:, 1], p[:, 2]),
     )
+
+
+def _tri_attr_table(meshes: tuple) -> jnp.ndarray | None:
+    """Pack every mesh's triangle attributes into one f32[sum(T), 32] row
+    table (see LegacyWorldData.tri_attr)."""
+    if not meshes:
+        return None
+    rows = []
+    for m in meshes:
+        t = np.asarray(m.tex, np.float32)[:, None]
+        block = np.concatenate(
+            [np.asarray(m.v0), np.asarray(m.v1), np.asarray(m.v2),
+             np.asarray(m.n0), np.asarray(m.n1), np.asarray(m.n2),
+             np.asarray(m.uv0), np.asarray(m.uv1), np.asarray(m.uv2),
+             t], axis=1).astype(np.float32)
+        rows.append(block)
+    table = np.concatenate(rows, axis=0)
+    pad = np.zeros((table.shape[0], 32 - table.shape[1]), np.float32)
+    return jnp.asarray(np.concatenate([table, pad], axis=1))
 
 
 def _content_size(configs, fallback=(8, 8)):
@@ -247,6 +272,7 @@ class LegacyWorld:
             envs=EnvironmentMaps(img=jnp.asarray(env_np),
                                  info_low=env_low, info_high=env_high),
             env_id=jnp.int32(self.environment or 0),
+            tri_attr=_tri_attr_table(tuple(mesh_devices)),
         )
         self._bvh_records = (mesh_records, sphere_record)
         return self._device
@@ -338,6 +364,7 @@ class LegacyWorld:
             envs=EnvironmentMaps(img=jnp.asarray(env_np),
                                  info_low=env_low, info_high=env_high),
             env_id=jnp.int32(self.environment or 0),
+            tri_attr=_tri_attr_table(tuple(mesh_devices)),
         )
         return self._device
 
@@ -400,20 +427,29 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
 
     normal = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
     uv = jnp.zeros((n, 2), jnp.float32)
-    albedo = jnp.zeros((n, 3), jnp.float32)
-    roughness = jnp.zeros((n,), jnp.float32)
-    metallic = jnp.zeros((n,), jnp.float32)
     transparency = jnp.zeros((n,), jnp.float32)
 
     atlas = world.atlas
+    is_mesh = src_best >= 1
+    # Deferred shading: one attribute gather + ONE atlas tap for the whole
+    # wavefront, regardless of structure/mesh count (gathers are the measured
+    # bottleneck of the legacy hit path; the reference's per-structure taps
+    # are per-thread and free, 15_module.py:864-953). Miss lanes collapse
+    # their tap coords to a single texel so the latency-bound gather only
+    # pays for lanes that actually hit.
+    u_tap = jnp.full((n,), 0.5, jnp.float32)
+    v_tap = jnp.full((n,), 0.5, jnp.float32)
+    tex_tap = jnp.zeros((n,), jnp.int32)
 
+    # --- sphere attributes (4 small gathers; spheres also need the normal-
+    # map tangent frame, 15_module.py:874-895) ---
+    sp_frame = None
     if world.spheres is not None:
         s = world.spheres
         m = src_best == 0
         c = jnp.take(s.center, pidx, axis=0)
         r = jnp.take(s.radius, pidx, axis=0)
         nv = (point - c) / jnp.maximum(r, 1e-20)[:, None]
-        # spherical tangent frame + lat/long UV (15_module.py:874-882)
         rr = jnp.sqrt(jnp.maximum(nv[:, 0] ** 2 + nv[:, 2] ** 2, 1e-20))
         tang = jnp.stack([nv[:, 2] / rr, jnp.zeros_like(rr), -nv[:, 0] / rr], -1)
         bitang = jnp.stack([nv[:, 0] * nv[:, 1], -rr, nv[:, 2] * nv[:, 1]], -1)
@@ -421,55 +457,58 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
         theta = jnp.arctan2(-nv[:, 0], -nv[:, 2])
         su = (theta / jnp.pi + 1.0) / 2.0
         sv = phi / jnp.pi + 0.5
-        tex_id = jnp.take(s.tex, pidx, axis=0)
-        su_tap = jnp.where(m, su, 0.25)  # miss lanes tap one texel (see mesh)
-        sv_tap = jnp.where(m, sv, 0.5)
-        tap = sample_bilinear(atlas.packed, atlas.info_low, atlas.info_high,
-                              tex_id, 2.0 * su_tap, sv_tap)
-        nc = tap[:, 3:6]
-        mapped = nc[:, 0:1] * tang + nc[:, 1:2] * bitang + nc[:, 2:3] * nv
-        mapped = mapped / jnp.maximum(
-            jnp.sqrt(jnp.sum(mapped * mapped, -1, keepdims=True)), 1e-20)
-        mm = m[:, None]
-        normal = jnp.where(mm, mapped, normal)
-        uv = jnp.where(mm, jnp.stack([su, sv], -1), uv)
-        albedo = jnp.where(mm, tap[:, 0:3], albedo)
-        roughness = jnp.where(m, tap[:, 6], roughness)
-        metallic = jnp.where(m, tap[:, 7], metallic)
+        sp_frame = (m, nv, tang, bitang)
+        uv = jnp.where(m[:, None], jnp.stack([su, sv], -1), uv)
+        u_tap = jnp.where(m, 2.0 * su, u_tap)
+        v_tap = jnp.where(m, sv, v_tap)
+        tex_tap = jnp.where(m, jnp.take(s.tex, pidx, axis=0), tex_tap)
         transparency = jnp.where(m, jnp.take(s.transparency, pidx, axis=0),
                                  transparency)
 
-    for k, mesh in enumerate(world.meshes):
-        m = src_best == (1 + k)
-        p1 = jnp.take(mesh.v0, pidx, axis=0)
-        p2 = jnp.take(mesh.v1, pidx, axis=0)
-        p3 = jnp.take(mesh.v2, pidx, axis=0)
+    # --- mesh attributes: one packed-row gather for ALL meshes ---
+    if world.meshes:
+        offsets = np.cumsum(
+            [0] + [int(m_.tex.shape[0]) for m_ in world.meshes])[:-1]
+        gidx = pidx
+        if len(world.meshes) > 1:
+            off = jnp.zeros((n,), jnp.int32)
+            for k in range(1, len(world.meshes)):
+                off = jnp.where(src_best == 1 + k,
+                                jnp.int32(int(offsets[k])), off)
+            gidx = pidx + off
+        row = jnp.take(world.tri_attr, jnp.where(is_mesh, gidx, 0), axis=0)
+        p1, p2, p3 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
+        uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
+        m_tex = row[:, 24].astype(jnp.int32)
         w1, w2, w3 = triangle_barycentrics(p1, p2, p3, point)
-        sm_n, sm_uv, _tang, _bitang = interpolate_attributes(
-            w1, w2, w3,
-            jnp.take(mesh.n0, pidx, axis=0), jnp.take(mesh.n1, pidx, axis=0),
-            jnp.take(mesh.n2, pidx, axis=0),
-            jnp.take(mesh.uv0, pidx, axis=0), jnp.take(mesh.uv1, pidx, axis=0),
-            jnp.take(mesh.uv2, pidx, axis=0),
-            p1, p2, p3)
-        tex_id = jnp.take(mesh.tex, pidx, axis=0)
-        # Collapse non-hit lanes' tap coords to one texel: their gathered
-        # values are discarded by the mask anyway, and pointing them all at
-        # the same cache line removes most of the random-access cost of the
-        # tap for sky-dominated wavefronts (the tap is latency-bound).
-        u_tap = jnp.where(m, sm_uv[:, 0], 0.5)
-        v_tap = jnp.where(m, sm_uv[:, 1], 0.5)
-        tap = sample_bilinear(atlas.packed, atlas.info_low, atlas.info_high,
-                              jnp.maximum(tex_id, 0), u_tap, v_tap)
-        mm = m[:, None]
+        sm_n = w1[:, None] * n0 + w2[:, None] * n1 + w3[:, None] * n2
+        sm_n = sm_n / jnp.maximum(
+            jnp.sqrt(jnp.sum(sm_n * sm_n, -1, keepdims=True)), 1e-20)
+        sm_uv = w1[:, None] * uv0 + w2[:, None] * uv1 + w3[:, None] * uv2
+        mm = is_mesh[:, None]
         # triangle normal mapping is computed but disabled in the reference
         # (15_module.py:945) — smooth vertex normal wins
         normal = jnp.where(mm, sm_n, normal)
         uv = jnp.where(mm, sm_uv, uv)
-        albedo = jnp.where(mm, tap[:, 0:3], albedo)
-        roughness = jnp.where(m, tap[:, 6], roughness)
-        metallic = jnp.where(m, tap[:, 7], metallic)
-        # triangles are always opaque in the reference (:950)
+        u_tap = jnp.where(is_mesh, sm_uv[:, 0], u_tap)
+        v_tap = jnp.where(is_mesh, sm_uv[:, 1], v_tap)
+        tex_tap = jnp.where(is_mesh, jnp.maximum(m_tex, 0), tex_tap)
+
+    # --- the single material tap ---
+    tap = sample_bilinear(atlas.packed, atlas.info_low, atlas.info_high,
+                          tex_tap, u_tap, v_tap)
+    albedo = jnp.where(hit_mask[:, None], tap[:, 0:3], 0.0)
+    roughness = jnp.where(hit_mask, tap[:, 6], 0.0)
+    metallic = jnp.where(hit_mask, tap[:, 7], 0.0)
+
+    if sp_frame is not None:
+        m, nv, tang, bitang = sp_frame
+        nc = tap[:, 3:6]
+        mapped = nc[:, 0:1] * tang + nc[:, 1:2] * bitang + nc[:, 2:3] * nv
+        mapped = mapped / jnp.maximum(
+            jnp.sqrt(jnp.sum(mapped * mapped, -1, keepdims=True)), 1e-20)
+        normal = jnp.where(m[:, None], mapped, normal)
 
     ior = jnp.full((n,), LEGACY_IOR, jnp.float32)
     absorptivity = jnp.full((n,), LEGACY_ABSORPTIVITY, jnp.float32)

@@ -1,0 +1,122 @@
+"""Pallas packet traversal must agree with the binary XLA traversal.
+
+Runs the kernel in interpret mode (no TPU needed); small sizes keep the
+per-block while_loop re-tracing affordable on one CPU core.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from learn_path_tracing_tpu.accel.bvh import build_bvh
+from learn_path_tracing_tpu.accel.traverse import (
+    make_triangle_leaf_test,
+    traverse,
+)
+from learn_path_tracing_tpu.accel.wide import collapse
+from learn_path_tracing_tpu.ops.packet_traverse import (
+    pack_packet_tables,
+    packet_traverse,
+)
+
+
+def _mesh(np_rng, t_count):
+    base = np_rng.normal(size=(t_count, 3)).astype(np.float32) * 3
+    v0 = base
+    v1 = base + np_rng.normal(size=(t_count, 3)).astype(np.float32)
+    v2 = base + np_rng.normal(size=(t_count, 3)).astype(np.float32)
+    return v0, v1, v2
+
+
+def _tables(v0, v1, v2):
+    plow = np.minimum(np.minimum(v0, v1), v2)
+    phigh = np.maximum(np.maximum(v0, v1), v2)
+    flat = build_bvh(plow, phigh, centroid=(v0 + v1 + v2) / 3,
+                     max_depth=12, max_leaf=4)
+    wide = collapse(flat)
+    return flat, wide, pack_packet_tables(wide, v0, v1, v2)
+
+
+def test_packet_matches_binary(np_rng):
+    v0, v1, v2 = _mesh(np_rng, 60)
+    flat, wide, (nodes, entries, runs) = _tables(v0, v1, v2)
+
+    n_r = 64
+    ro = np_rng.normal(size=(n_r, 3)).astype(np.float32) * 4
+    rd = np_rng.normal(size=(n_r, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    lt = make_triangle_leaf_test(*map(jnp.asarray, (v0, v1, v2)))
+    t_b, p_b = traverse(flat, jnp.asarray(ro), jnp.asarray(rd), lt)
+
+    t_init = jnp.full((n_r,), jnp.inf, jnp.float32)
+    active = jnp.ones((n_r,), bool)
+    t_p, p_p = packet_traverse(nodes, entries, runs, jnp.asarray(ro),
+                               jnp.asarray(rd), t_init, active,
+                               interpret=True)
+    t_b, p_b, t_p, p_p = map(np.asarray, (t_b, p_b, t_p, p_p))
+    hit_b = np.isfinite(t_b)
+    hit_p = np.isfinite(t_p)
+    assert np.array_equal(hit_b, hit_p)
+    # the packet kernel uses algebraically-refactored triangle coefficients;
+    # t agrees to f32 roundoff, prim ids agree except coplanar ties
+    assert np.allclose(t_b[hit_b], t_p[hit_p], rtol=1e-4, atol=1e-5)
+    assert (p_b[hit_b] == p_p[hit_p]).mean() > 0.95
+
+
+def test_packet_respects_t_init_and_active(np_rng):
+    v0, v1, v2 = _mesh(np_rng, 40)
+    flat, wide, (nodes, entries, runs) = _tables(v0, v1, v2)
+
+    n_r = 32
+    ro = np_rng.normal(size=(n_r, 3)).astype(np.float32) * 4
+    rd = np_rng.normal(size=(n_r, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    active = np_rng.uniform(size=n_r) < 0.5
+
+    t_full, p_full = packet_traverse(
+        nodes, entries, runs, jnp.asarray(ro), jnp.asarray(rd),
+        jnp.full((n_r,), jnp.inf, jnp.float32), jnp.ones((n_r,), bool),
+        interpret=True)
+
+    # inactive lanes keep t_init and prim -1
+    t_m, p_m = packet_traverse(
+        nodes, entries, runs, jnp.asarray(ro), jnp.asarray(rd),
+        jnp.full((n_r,), jnp.inf, jnp.float32), jnp.asarray(active),
+        interpret=True)
+    t_m, p_m = np.asarray(t_m), np.asarray(p_m)
+    assert np.isinf(t_m[~active]).all()
+    assert (p_m[~active] == -1).all()
+    on = active & np.isfinite(np.asarray(t_full))
+    assert np.allclose(t_m[on], np.asarray(t_full)[on], rtol=1e-5)
+
+    # t_init below the real hit distance suppresses the hit
+    t_small = jnp.full((n_r,), 1e-3, jnp.float32)
+    t_s, p_s = packet_traverse(
+        nodes, entries, runs, jnp.asarray(ro), jnp.asarray(rd), t_small,
+        jnp.ones((n_r,), bool), interpret=True)
+    assert np.allclose(np.asarray(t_s), 1e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_packet_sorted_path_exact(np_rng):
+    """sort_rays=True must return lane-exact results vs sort_rays=False
+    (needs n > RAY_BLOCK, so it compiles a large interpret-mode grid)."""
+    import learn_path_tracing_tpu.ops.packet_traverse as pt
+
+    v0, v1, v2 = _mesh(np_rng, 30)
+    flat, wide, (nodes, entries, runs) = _tables(v0, v1, v2)
+    n_r = pt.RAY_BLOCK * 2
+    ro = np_rng.normal(size=(n_r, 3)).astype(np.float32) * 4
+    rd = np_rng.normal(size=(n_r, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t_init = jnp.full((n_r,), jnp.inf, jnp.float32)
+    active = jnp.ones((n_r,), bool)
+    a = packet_traverse(nodes, entries, runs, jnp.asarray(ro),
+                        jnp.asarray(rd), t_init, active,
+                        interpret=True, sort_rays=False)
+    b = packet_traverse(nodes, entries, runs, jnp.asarray(ro),
+                        jnp.asarray(rd), t_init, active,
+                        interpret=True, sort_rays=True)
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
