@@ -57,16 +57,25 @@ def sample_lambertian(normal, u1, u2):
 
 def slerp(a, b, t):
     """Spherical lerp between unit vectors; linear fallback when nearly
-    parallel (sin ω < 1e-6), then re-normalized — mirrors 7_reflect/bsdf.py:21-27."""
+    parallel (sin ω < 1e-6), then re-normalized — mirrors 7_reflect/bsdf.py:21-27.
+
+    Transcendental-lean form (this runs per lane per bounce): sin ω comes
+    from √(1−cos²ω) and sin((1−t)ω) expands via the angle-difference
+    identity, so the whole slerp costs one arccos + one sin + one cos
+    instead of one arccos + three sins. Identical math in exact arithmetic.
+    """
     cosw = jnp.clip(dot(a, b), -1.0, 1.0)
     omega = jnp.arccos(cosw)
-    so = jnp.sin(omega)
+    so = jnp.sqrt(jnp.maximum(1.0 - cosw * cosw, 0.0))  # sin ω, ω ∈ [0, π]
     t = jnp.asarray(t)
     if t.ndim < a.ndim:
         t = t[..., None]
     safe_so = jnp.where(so < 1e-6, 1.0, so)
-    s_a = jnp.sin((1.0 - t) * omega) / safe_so
-    s_b = jnp.sin(t * omega) / safe_so
+    sin_tw = jnp.sin(t * omega)
+    cos_tw = jnp.cos(t * omega)
+    # sin((1-t)ω)/sinω = cos(tω) − cosω·sin(tω)/sinω
+    s_a = cos_tw - cosw * sin_tw / safe_so
+    s_b = sin_tw / safe_so
     lin = (1.0 - t) * a + t * b
     sph = s_a * a + s_b * b
     return normalize(jnp.where(so < 1e-6, lin, sph), eps=1e-12)

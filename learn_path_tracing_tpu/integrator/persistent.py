@@ -44,13 +44,17 @@ from ..core.pytree import tree_where
 from .wavefront import _scene_fns
 
 
+POOL_TARGET = 1 << 21  # lanes per pass the chip can keep busy
+
+
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
-                                   "engine"))
+                                   "engine", "pool_mult"))
 def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
-                      hit_backend: str = "auto", engine: str = "auto"):
+                      hit_backend: str = "auto", engine: str = "auto",
+                      pool_mult: int = 0):
     """Returns (image f32[W,H,3], segments f32). Same sample values as
     wavefront.render; per-pixel sum order differs (~1 ulp).
 
@@ -73,27 +77,39 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         return _render_mega(world_data, cam, resolution, spp, limit, seed)
     n = w * h
     total = n * spp
-    lanes = jnp.arange(n, dtype=jnp.uint32)
     scatter = SCATTERERS[bsdf]
     hit_fn, background_fn = _scene_fns(scene)
     matmul_acc = (n % spp == 0)
-    groups = n // spp if matmul_acc else 0
 
-    # With spp | n, the k-th item of each lane decomposes statically:
-    # sample = lane % spp (constant per lane) and pixel = lane//spp + k*G,
-    # so neither needs to live in the while-loop carry. The general case
-    # keeps the witem arithmetic.
+    # Pool multiplier q: run q samples' wavefronts concurrently (pool = q*n
+    # lanes) so small renders still fill the chip and per-pass fixed costs
+    # (sorts, regen, accumulate) amortize. The work-item algebra carries
+    # over: with spp | n and q | spp, item k of lane L is
+    # pixel = L//spp + k*G (G = pool//spp), sample = L % spp, k < spp//q.
+    if not matmul_acc:
+        q = 1
+    elif pool_mult:
+        q = pool_mult
+    else:
+        q = 1
+        while q * 2 <= spp and spp % (q * 2) == 0 and 2 * q * n <= POOL_TARGET:
+            q *= 2
+    pool = q * n
+    items_per = spp // q if matmul_acc else spp
+    lanes = jnp.arange(pool, dtype=jnp.uint32)
+    groups = pool // spp if matmul_acc else 0
+
     sample_const = (lanes % jnp.uint32(spp)) if matmul_acc else None
     group_const = (lanes // jnp.uint32(spp)) if matmul_acc else None
 
     def item_of(k):
-        """k-th work item of each lane → (valid, pixel u32[N], sample u32[N])."""
+        """k-th work item of each lane → (valid, pixel u32[P], sample u32[P])."""
         if matmul_acc:
-            valid = jnp.broadcast_to(k < jnp.uint32(spp), lanes.shape)
+            valid = jnp.broadcast_to(k < jnp.uint32(items_per), lanes.shape)
             pixel = group_const + k * jnp.uint32(groups)
             pixel = jnp.minimum(pixel, jnp.uint32(n - 1))
             return valid, pixel, sample_const
-        witem = lanes + k * jnp.uint32(n)
+        witem = lanes + k * jnp.uint32(pool)
         valid = witem < total
         pixel = jnp.minimum(witem // jnp.uint32(spp), jnp.uint32(n - 1))
         sample = witem % jnp.uint32(spp)
@@ -122,8 +138,8 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
             return acc.at[pixel].add(contrib)
         k_g = k.reshape(groups, spp)
         c_g = contrib.reshape(groups, spp, 3)
-        onehot = (k_g[:, :, None]
-                  == jnp.arange(spp, dtype=jnp.uint32)).astype(jnp.float32)
+        onehot = (k_g[:, :, None] == jnp.arange(items_per, dtype=jnp.uint32)
+                  ).astype(jnp.float32)
         return acc + jax.lax.dot_general(
             onehot, c_g, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -167,12 +183,12 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         acc = accumulate(acc, k, pixel, contrib)
         return rays, next_k, bounce, acc, segments + live
 
-    acc0 = (jnp.zeros((groups, spp, 3), jnp.float32) if matmul_acc
+    acc0 = (jnp.zeros((groups, items_per, 3), jnp.float32) if matmul_acc
             else jnp.zeros((n, 3), jnp.float32))
     state0 = (
         rays0,
-        jnp.zeros((n,), jnp.uint32),
-        jnp.zeros((n,), jnp.uint32),
+        jnp.zeros((pool,), jnp.uint32),
+        jnp.zeros((pool,), jnp.uint32),
         acc0,
         jnp.float32(0.0),
     )
@@ -188,8 +204,8 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         return -(-v // 256) * 256
 
     levels = []
-    lw = _round256(n // 8)
-    while matmul_acc and lw >= 256 and lw < (levels[-1] if levels else n):
+    lw = _round256(pool // 8)
+    while matmul_acc and lw >= 256 and lw < (levels[-1] if levels else pool):
         levels.append(lw)
         lw = _round256(lw // 8)
 
@@ -227,7 +243,7 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         g_cur, samp_cur = g_arr, samp_arr
 
         def item_of_d(kv, g_cur=g_cur, samp_cur=samp_cur):
-            valid = jnp.broadcast_to(kv < jnp.uint32(spp), kv.shape)
+            valid = jnp.broadcast_to(kv < jnp.uint32(items_per), kv.shape)
             pixel = jnp.minimum(g_cur + kv * jnp.uint32(groups),
                                 jnp.uint32(n - 1))
             return valid, pixel, samp_cur

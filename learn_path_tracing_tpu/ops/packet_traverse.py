@@ -40,7 +40,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel.wide import WIDTH, WideBVH, decode_leaf, _PAD
+from ..accel.wide import WIDTH, WideBVH, decode_leaf, _PAD, _SORT8 as _SORT8_PAIRS
 
 import os
 
@@ -90,6 +90,9 @@ def pack_packet_tables(wbvh: WideBVH, v0, v1, v2):
                 continue
             start, count = decode_leaf(np.int32(e))
             start, count = int(start), int(count)
+            # run row is coefficient-major: coefficient k of slot j lives at
+            # col k*8 + j, so the kernel slices each coefficient as a static
+            # [8]-vector and the whole leaf phase vectorizes over slots.
             row = np.zeros((128,), np.float32)
             for j in range(count):
                 row[_PRIM_COL + j] = float(prim[start + j])
@@ -107,13 +110,14 @@ def pack_packet_tables(wbvh: WideBVH, v0, v1, v2):
                 c1 = -np.dot(np.cross(p3 - p2, p2), n) / den1
                 g2 = np.cross(n, p1 - p3) / den2
                 c2 = -np.dot(np.cross(p1 - p3, p3), n) / den2
-                base = j * SLOT_F
-                row[base:base + 3] = n
-                row[base + 3] = np.dot(p1, n)
-                row[base + 4:base + 7] = g1
-                row[base + 7] = c1
-                row[base + 8:base + 11] = g2
-                row[base + 11] = c2
+                coefs = [n[0], n[1], n[2], np.dot(p1, n),
+                         g1[0], g1[1], g1[2], c1,
+                         g2[0], g2[1], g2[2], c2]
+                for k, val in enumerate(coefs):
+                    row[k * WIDTH + j] = val
+            # empty slots must never report a hit: denom 0/plane far away
+            for j in range(count, SLOTS):
+                row[3 * WIDTH + j] = np.inf  # d = inf → t = inf
             entries[i, c] = -(len(runs) * _ENC + count + 1)
             runs.append(row)
     if not runs:
@@ -123,89 +127,140 @@ def pack_packet_tables(wbvh: WideBVH, v0, v1, v2):
 
 
 def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
-            stack_ref, cnt_ref, *, eps, max_iters, cap):
+            iters_ref, stack_ref, stack_t_ref, cnt_ref, *, eps, max_iters,
+            cap):
+    """Ordered packet traversal, child-axis-vectorized.
+
+    Per iteration the scalar core pops one (code, t0) entry; all per-child
+    work runs as [8, B] vector ops built from STATIC row slices (the round-1
+    kernel did 48 scalar VMEM loads + 8 any-reductions per node — the
+    measured per-iteration bottleneck). Children are pushed near-to-far
+    (vector sorting network) with their packet-entry distance on a parallel
+    f32 stack; pops whose recorded t0 can no longer beat any active lane's
+    best-t are skipped in O(1) (t_cap, tightened after every leaf).
+    """
     b = rays_ref.shape[1]
-    ro = [rays_ref[_RO + d, :] for d in range(3)]
-    rd = [rays_ref[_RD + d, :] for d in range(3)]
-    inv = [1.0 / rd[d] for d in range(3)]
+    ro2 = [rays_ref[_RO + d:_RO + d + 1, :] for d in range(3)]   # [1,B]
+    rd2 = [rays_ref[_RD + d:_RD + d + 1, :] for d in range(3)]
+    inv2 = [1.0 / rd2[d] for d in range(3)]
     active = rays_ref[_ACTIVE, :] > 0.5
+    active2 = rays_ref[_ACTIVE:_ACTIVE + 1, :] > 0.5             # [1,B]
 
     t_ref[0, :] = rays_ref[_TINIT, :]
     prim_ref[0, :] = jnp.full((b,), -1, jnp.int32)
-    stack_ref[0] = jnp.int32(0)  # root node
+    stack_ref[0] = jnp.int32(0)   # root node
+    stack_t_ref[0] = jnp.float32(0.0)
+    neg_inf = jnp.float32(-jnp.inf)
+    t_cap0 = jnp.max(jnp.where(active, rays_ref[_TINIT, :], neg_inf))
 
     def cond(carry):
-        sp, it = carry
+        sp, it, t_cap = carry
         return (sp >= 0) & (it < max_iters)
 
     def body(carry):
-        sp, it = carry
+        sp, it, t_cap = carry
         code = stack_ref[sp]
+        t0_pop = stack_t_ref[sp]
         cnt_ref[0] = jnp.int32(0)
-        t_best = t_ref[0, :]
+        live = t0_pop < t_cap + eps   # stale entries pop in O(1)
 
-        @pl.when(code >= 0)
+        @pl.when(live & (code >= 0))
         def _node():
             row = nodes_ref[pl.ds(code, 1), :]
-            entry_row = entries_ref[pl.ds(code, 1), :]
-            pushed = jnp.int32(0)
+            # static column slices → [8,1] child vectors; slab test is pure
+            # [8,B] vector math, no scalar loads.
+            t0 = jnp.full((WIDTH, b), -jnp.inf, jnp.float32)
+            t1 = jnp.full((WIDTH, b), jnp.inf, jnp.float32)
+            for d in range(3):
+                lo = row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
+                hi = row[0, (3 + d) * 8:(4 + d) * 8].reshape(WIDTH, 1)
+                ta = (lo - ro2[d]) * inv2[d]
+                tb = (hi - ro2[d]) * inv2[d]
+                t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+                t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+            t_best2 = t_ref[0:1, :]
+            lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
+                        & (t0 < t_best2 + eps) & active2)     # [8,B]
+            ent = entries_ref[pl.ds(code, 1), 0:WIDTH].reshape(WIDTH, 1)
+            anyv = jnp.any(lane_hit, axis=1, keepdims=True)    # [8,1]
+            anyv = anyv & (ent != _PAD)
+            # packet entry distance per child (for ordering + stale pruning)
+            tmin = jnp.min(jnp.where(lane_hit, jnp.maximum(t0, 0.0),
+                                     jnp.inf), axis=1, keepdims=True)
+            key = jnp.where(anyv, tmin, jnp.inf)               # [8,1]
+            # extract to scalars once, then a scalar sorting network orders
+            # children near-to-far (misses carry +inf keys, sink to tail)
+            keyv = [key[c, 0] for c in range(WIDTH)]
+            entv = [ent[c, 0] for c in range(WIDTH)]
+            for a_, b_ in _SORT8_PAIRS:
+                swap = keyv[a_] > keyv[b_]
+                ka = jnp.where(swap, keyv[b_], keyv[a_])
+                kb = jnp.where(swap, keyv[a_], keyv[b_])
+                va = jnp.where(swap, entv[b_], entv[a_])
+                vb = jnp.where(swap, entv[a_], entv[b_])
+                keyv[a_], keyv[b_] = ka, kb
+                entv[a_], entv[b_] = va, vb
+            valids = [jnp.isfinite(keyv[c]).astype(jnp.int32)
+                      for c in range(WIDTH)]
+            pushed = sum(valids)
+            # push far-to-near so the nearest child pops first; sorted slot
+            # c lands at sp + (pushed-1-c), misses land in the trash slot
             for c in range(WIDTH):
-                lo = [row[0, d * 8 + c] for d in range(3)]
-                hi = [row[0, (3 + d) * 8 + c] for d in range(3)]
-                t0 = jnp.full((b,), -jnp.inf, jnp.float32)
-                t1 = jnp.full((b,), jnp.inf, jnp.float32)
-                for d in range(3):
-                    ta = (lo[d] - ro[d]) * inv[d]
-                    tb = (hi[d] - ro[d]) * inv[d]
-                    t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
-                    t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
-                ent = entry_row[0, c]
-                lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
-                            & (t0 < t_best + eps) & active)
-                any_hit = jnp.any(lane_hit) & (ent != _PAD)
-                # unconditional scalar write; misses land in the trash slot
-                pos = jnp.where(any_hit, sp + pushed, cap - 1)
-                stack_ref[pos] = jnp.where(any_hit, ent, stack_ref[cap - 1])
-                pushed = pushed + any_hit.astype(jnp.int32)
+                valid = valids[c] > 0
+                pos = jnp.where(valid, sp + pushed - 1 - c, cap - 1)
+                stack_ref[pos] = jnp.where(valid, entv[c], stack_ref[cap - 1])
+                stack_t_ref[pos] = jnp.where(valid, keyv[c],
+                                             stack_t_ref[cap - 1])
             cnt_ref[0] = pushed
 
-        @pl.when((code < 0) & (code != _PAD))
+        @pl.when(live & (code < 0) & (code != _PAD))
         def _leaf():
             v = -(code + 1)
             run = v // _ENC
-            count = v % _ENC
             row = runs_ref[pl.ds(run, 1), :]
+
+            def coef(k):
+                return row[0, k * WIDTH:(k + 1) * WIDTH].reshape(WIDTH, 1)
+
+            # all 8 slots tested as [8,B] vector math (empty slots packed
+            # with d=+inf → t=+inf, never a hit)
+            denom = (rd2[0] * coef(0) + rd2[1] * coef(1) + rd2[2] * coef(2))
+            ron = (ro2[0] * coef(0) + ro2[1] * coef(1) + ro2[2] * coef(2))
+            t = (coef(3) - ron) / denom
+            w1 = (ro2[0] * coef(4) + ro2[1] * coef(5) + ro2[2] * coef(6)
+                  + t * (rd2[0] * coef(4) + rd2[1] * coef(5)
+                         + rd2[2] * coef(6)) + coef(7))
+            w2 = (ro2[0] * coef(8) + ro2[1] * coef(9) + ro2[2] * coef(10)
+                  + t * (rd2[0] * coef(8) + rd2[1] * coef(9)
+                         + rd2[2] * coef(10)) + coef(11))
+            w3 = 1.0 - w1 - w2
             t_b = t_ref[0, :]
-            p_b = prim_ref[0, :]
-            for j in range(SLOTS):
-                base = j * SLOT_F
-                n = [row[0, base + d] for d in range(3)]
-                dconst = row[0, base + 3]
-                g1 = [row[0, base + 4 + d] for d in range(3)]
-                c1 = row[0, base + 7]
-                g2 = [row[0, base + 8 + d] for d in range(3)]
-                c2 = row[0, base + 11]
-                denom = rd[0] * n[0] + rd[1] * n[1] + rd[2] * n[2]
-                ron = ro[0] * n[0] + ro[1] * n[1] + ro[2] * n[2]
-                t = (dconst - ron) / denom
-                rog1 = ro[0] * g1[0] + ro[1] * g1[1] + ro[2] * g1[2]
-                rdg1 = rd[0] * g1[0] + rd[1] * g1[1] + rd[2] * g1[2]
-                w1 = rog1 + t * rdg1 + c1
-                rog2 = ro[0] * g2[0] + ro[1] * g2[1] + ro[2] * g2[2]
-                rdg2 = rd[0] * g2[0] + rd[1] * g2[1] + rd[2] * g2[2]
-                w2 = rog2 + t * rdg2 + c2
-                w3 = 1.0 - w1 - w2
-                pid = row[0, _PRIM_COL + j].astype(jnp.int32)
-                ok = ((j < count) & active & (t > eps) & (w1 > 0.0)
-                      & (w2 > 0.0) & (w3 > 0.0) & (t < t_b))
-                t_b = jnp.where(ok, t, t_b)
-                p_b = jnp.where(ok, pid, p_b)
-            t_ref[0, :] = t_b
-            prim_ref[0, :] = p_b
+            ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
+                  & active2 & (t < t_b[None, :]))               # [8,B]
+            t_masked = jnp.where(ok, t, jnp.inf)
+            t_new = jnp.min(t_masked, axis=0)                   # [B]
+            improved = jnp.isfinite(t_new) & (t_new < t_b)
+            # winning slot → prim id: static unroll of 8 [B]-wide selects
+            pid = prim_ref[0, :]
+            for j in reversed(range(SLOTS)):  # earliest slot wins ties
+                won = improved & (t_masked[j, :] == t_new)
+                pid = jnp.where(won, row[0, _PRIM_COL + j].astype(jnp.int32),
+                                pid)
+            t_ref[0, :] = jnp.where(improved, t_new, t_b)
+            prim_ref[0, :] = pid
 
-        return sp - 1 + cnt_ref[0], it + 1
+        # tighten the stale-pop cap after leaves (where t_best improves)
+        new_cap = jnp.where(
+            live & (code < 0) & (code != _PAD),
+            jnp.max(jnp.where(active, t_ref[0, :], neg_inf)), t_cap)
+        return sp - 1 + cnt_ref[0], it + 1, new_cap
 
-    lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    _, it_final, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), t_cap0))
+    # per-block traversal length (perf telemetry), broadcast across the row
+    # (TPU lowering requires lane-aligned output blocks; SMEM (1,1) blocks
+    # with a gridded index map are rejected)
+    iters_ref[0, :] = jnp.full((b,), it_final, jnp.int32)
 
 
 def _coherence_order(nodes, ro, rd):
@@ -226,10 +281,11 @@ def _coherence_order(nodes, ro, rd):
     return jnp.argsort(key)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",
+                                             "with_stats"))
 def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
                     eps: float = 1e-4, interpret: bool = False,
-                    sort_rays: bool = True):
+                    sort_rays: bool = True, with_stats: bool = False):
     """Nearest-hit packet traversal.
 
     Args: packed tables from ``pack_packet_tables``; ``ro/rd f32[N,3]``;
@@ -255,6 +311,9 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
         inv = jnp.argsort(order)  # cheaper than a serialized scatter on TPU
         packed = jnp.take(packed, order, axis=0)
 
+    assert not (with_stats and inv is not None), \
+        "with_stats: use sort_rays=False to keep block identity"
+
     rays = jnp.zeros((8, n_pad), jnp.float32)
     rays = rays.at[:, :n].set(packed.T)
     rays = rays.at[_TINIT, n:].set(jnp.inf)
@@ -266,7 +325,7 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     max_iters = 16 * m + 64  # hard termination backstop
 
     grid = (n_pad // RAY_BLOCK,)
-    t, prim = pl.pallas_call(
+    t, prim, iters = pl.pallas_call(
         functools.partial(_kernel, eps=eps, max_iters=max_iters, cap=cap),
         grid=grid,
         in_specs=[
@@ -284,17 +343,23 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((8 * 64 + 8,), jnp.int32),
+            pltpu.SMEM((8 * 64 + 8,), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
     )(nodes, entries, runs, rays)
+    if with_stats:
+        return t[0, :n], prim[0, :n], iters[0, ::RAY_BLOCK]
     if inv is not None:
         return jnp.take(t[0, :n], inv, axis=0), jnp.take(prim[0, :n], inv,
                                                          axis=0)
