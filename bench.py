@@ -31,7 +31,13 @@ def main():
                    choices=["10_final", "yoimiya"],
                    help="10_final: sphere cover scene (headline); "
                         "yoimiya: 23k-tri mesh BVH workload")
+    p.add_argument("--time1024", action="store_true",
+                   help="report wall seconds to render 1024spp at 1080p "
+                        "(the BASELINE.json time-to-quality metric), "
+                        "chunked so no device call trips the watchdog")
     args = p.parse_args()
+    if args.time1024:
+        args.width, args.height, args.spp = 1920, 1080, 1024
 
     import jax
 
@@ -68,6 +74,47 @@ def main():
         cp = cam.params()
         scene_kind, bsdf = "legacy", "legacy"
         metric = "bvh_mrays_per_sec_chip_yoimiya"
+
+    if args.time1024:
+        import jax
+        import jax.numpy as jnp
+
+        # chunk the spp axis into separate device calls (watchdog-safe,
+        # same RNG counters as one call — chunks pipeline via async dispatch)
+        chunk = 128
+
+        def run_chunk(seed):
+            # distinct seed per chunk = plain progressive MC accumulation
+            # (the stages/common.run_path_traced chunking pattern)
+            return render_persistent(
+                wd, cp, res, spp=chunk, limit=args.limit, seed=seed,
+                bsdf=bsdf, scene=scene_kind, hit_backend=args.hit_backend)
+
+        # warm-up compile
+        img, segs = run_chunk(-1)
+        jax.block_until_ready(img)
+        # jitted accumulate — eager jnp adds on tunneled TPU arrays each
+        # trigger a remote compile (minutes); one jitted add compiles once
+        add = jax.jit(lambda a, b, s, t: (a + b, s + t))
+        t0 = time.time()
+        acc = None
+        total_segs = jnp.float32(0.0)
+        for s0 in range(0, args.spp, chunk):
+            img, segs = run_chunk(s0)
+            if acc is None:
+                acc = img
+                total_segs = segs
+            else:
+                acc, total_segs = add(acc, img, total_segs, segs)
+        jax.block_until_ready(acc)
+        dt = time.time() - t0
+        print(json.dumps({
+            "metric": "seconds_to_1024spp_1080p_10final",
+            "value": round(dt, 1),
+            "unit": "s",
+            "vs_baseline": round(float(total_segs) / dt / 1e8, 3),
+        }))
+        return 0
 
     def run(seed):
         return render_persistent(wd, cp, res, spp=args.spp, limit=args.limit,

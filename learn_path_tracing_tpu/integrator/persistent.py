@@ -90,6 +90,13 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         q = 1
     elif pool_mult:
         q = pool_mult
+    elif scene == "legacy":
+        # Mesh worlds traverse via the packet kernel, which walks its ray
+        # blocks sequentially on the scalar core — a wider pool adds no
+        # parallelism, degrades per-chunk sort quality, and shortens the
+        # full-occupancy steady state (fewer items per lane). q=1 measured
+        # fastest on the Yoimiya workload.
+        q = 1
     else:
         q = 1
         while q * 2 <= spp and spp % (q * 2) == 0 and 2 * q * n <= POOL_TARGET:

@@ -317,3 +317,107 @@ def sample_nearest(img, info_low, info_high, tex_id, u, v):
     x = low[:, 0] + jnp.mod(x, wpix)
     y = low[:, 1] + jnp.mod(y, hpix)
     return _gather2d(img, x, y)
+
+
+# ------------------------------------------------- strip-packed fast taps --
+#
+# XLA row-gathers on this hardware are row-count bound, not byte bound
+# (measured: 16.8M-row table ~90 Mrows/s vs 4M-row ~280 Mrows/s, width
+# 8 vs 16 nearly free — scripts/profile_gather.py). A bilinear tap as 4
+# independent texel gathers is therefore the worst possible shape. Strip
+# packing stores runs of T horizontally-adjacent texels per row with a
+# one-texel overlap between consecutive strips (stride T-1), u-wrap baked
+# in cyclically per texture rect — so the two texels (l, l+1) of a
+# bilinear footprint ALWAYS live in one row, and a full tap is 2 gathers
+# (v-levels b, b+1) from a table with ~T-fold fewer rows.
+
+
+@pytree_dataclass
+class StripAtlas:
+    """Strip-packed atlas + per-texture rects and strip indexing."""
+
+    table: jnp.ndarray      # [R, T*C] (bf16 material / f32 env)
+    info_low: jnp.ndarray   # i32[K, 2] rect coords in the virtual atlas
+    info_high: jnp.ndarray  # i32[K, 2]
+    base: jnp.ndarray       # i32[K] first table row of each rect
+    spr: jnp.ndarray        # i32[K] strips per texel row of each rect
+
+
+def pack_strips(atlas_np, info_low, info_high, texels: int,
+                dtype=None) -> StripAtlas:
+    """Strip-pack ``atlas_np [W, H, C]`` per texture rect.
+
+    Row layout is texel-major: ``row[j*C:(j+1)*C]`` is texel ``x0+j`` (mod
+    rect width — the wrap bakes the reference's repeat addressing into the
+    table). Rect rows are laid out y-major: row index =
+    ``base + y * spr + strip``.
+    """
+    low = np.asarray(info_low)
+    high = np.asarray(info_high)
+    c = atlas_np.shape[2]
+    stride = texels - 1
+    k = low.shape[0]
+    base = np.zeros((k,), np.int32)
+    spr = np.zeros((k,), np.int32)
+    total = 0
+    for i in range(k):
+        w = int(high[i, 0] - low[i, 0])
+        h = int(high[i, 1] - low[i, 1])
+        base[i] = total
+        spr[i] = -(-w // stride)
+        total += h * int(spr[i])
+    table = np.zeros((max(total, 1), texels * c), np.float32)
+    for i in range(k):
+        x0, y0 = int(low[i, 0]), int(low[i, 1])
+        w = int(high[i, 0] - x0)
+        h = int(high[i, 1] - y0)
+        rect = atlas_np[x0:x0 + w, y0:y0 + h]          # [w, h, C]
+        # cyclic x indices for every strip slot: [spr, texels]
+        s = int(spr[i])
+        xs = (np.arange(s)[:, None] * stride + np.arange(texels)[None]) % w
+        # [s, texels, h, C] -> rows [h * s, texels * C] y-major
+        block = rect[xs]                               # [s, texels, h, C]
+        block = block.transpose(2, 0, 1, 3).reshape(h * s, texels * c)
+        table[base[i]:base[i] + h * s] = block
+    if dtype is None:
+        dtype = jnp.float32
+    return StripAtlas(table=jnp.asarray(table, dtype),
+                      info_low=jnp.asarray(low.astype(np.int32)),
+                      info_high=jnp.asarray(high.astype(np.int32)),
+                      base=jnp.asarray(base), spr=jnp.asarray(spr))
+
+
+def sample_bilinear_strips(atlas: StripAtlas, tex_id, u, v, channels: int):
+    """Bilinear tap over a strip-packed atlas — identical texels and weights
+    to ``sample_bilinear`` (same rect wrap-around), 2 row gathers instead
+    of 4. ``channels`` must be static (table width = T * channels)."""
+    c = channels
+    texels = atlas.table.shape[1] // c
+    stride = texels - 1
+    low = jnp.take(atlas.info_low, tex_id, axis=0)
+    high = jnp.take(atlas.info_high, tex_id, axis=0)
+    base = jnp.take(atlas.base, tex_id, axis=0)
+    spr = jnp.take(atlas.spr, tex_id, axis=0)
+    wpix = high[:, 0] - low[:, 0]
+    hpix = high[:, 1] - low[:, 1]
+    uu = u * wpix.astype(jnp.float32) - 0.5
+    vv = v * hpix.astype(jnp.float32) - 0.5
+    l = uu.astype(jnp.int32)   # trunc-toward-zero, as ti.cast does
+    b = vv.astype(jnp.int32)
+    wl = ((l + 1).astype(jnp.float32) - uu)[:, None]
+    wb = ((b + 1).astype(jnp.float32) - vv)[:, None]
+    lm = jnp.mod(l, wpix)
+    sx = lm // stride
+    off = lm - sx * stride
+    by = jnp.mod(b, hpix)
+    ty = jnp.mod(b + 1, hpix)
+    row_b = jnp.take(atlas.table, base + by * spr + sx, axis=0)
+    row_t = jnp.take(atlas.table, base + ty * spr + sx, axis=0)
+    row = (wb * row_b.astype(jnp.float32)
+           + (1.0 - wb) * row_t.astype(jnp.float32))   # [N, T*C]
+    # texel pair (off, off+1) via a one-hot sum of static slices
+    pair = jnp.zeros((u.shape[0], 2 * c), jnp.float32)
+    for j in range(stride):
+        m = (off == j).astype(jnp.float32)[:, None]
+        pair = pair + m * row[:, j * c:(j + 2) * c]
+    return wl * pair[:, :c] + (1.0 - wl) * pair[:, c:]

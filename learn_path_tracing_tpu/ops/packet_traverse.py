@@ -263,7 +263,7 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
     iters_ref[0, :] = jnp.full((b,), it_final, jnp.int32)
 
 
-def _coherence_order(nodes, ro, rd):
+def _coherence_key(nodes, ro, rd):
     """Sort key grouping rays by origin cell (16^3 over the root AABB) and
     direction octant, so packet blocks traverse small node unions. Bounce
     wavefronts are incoherent in lane order; unsorted, every 512-lane block
@@ -277,8 +277,33 @@ def _coherence_order(nodes, ro, rd):
     octant = ((rd[:, 0] > 0).astype(jnp.int32)
               + 2 * (rd[:, 1] > 0).astype(jnp.int32)
               + 4 * (rd[:, 2] > 0).astype(jnp.int32))
-    key = (((q[:, 0] * 16 + q[:, 1]) * 16 + q[:, 2]) * 8) + octant
-    return jnp.argsort(key)
+    return (((q[:, 0] * 16 + q[:, 1]) * 16 + q[:, 2]) * 8) + octant
+
+
+def _coherence_order(nodes, ro, rd):
+    """(order, inv) permutations for coherence sorting.
+
+    XLA's TPU sort cost grows superlinearly in n, so the key array is split
+    into C equal row-chunks sorted independently (one batched sort — the VPU
+    parallelizes across rows). Packets are built from contiguous runs of one
+    sorted chunk; each chunk samples the same key distribution as the whole
+    wavefront, so per-block key homogeneity (all the sort exists to provide)
+    is preserved. The inverse permutation comes from a second batched
+    argsort of the row-local order."""
+    n = ro.shape[0]
+    key = _coherence_key(nodes, ro, rd)
+    c = 1
+    for cand in range(min(n // (4 * RAY_BLOCK), 256), 1, -1):
+        if n % cand == 0:
+            c = cand
+            break
+    if c <= 1:
+        order = jnp.argsort(key)
+        return order, jnp.argsort(order)
+    order_l = jnp.argsort(key.reshape(c, -1), axis=1)
+    inv_l = jnp.argsort(order_l, axis=1)
+    base = (jnp.arange(c, dtype=order_l.dtype) * (n // c))[:, None]
+    return (order_l + base).reshape(-1), (inv_l + base).reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",
@@ -307,8 +332,7 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
         axis=1)                                              # [N, 8]
     inv = None
     if sort_rays and n > RAY_BLOCK:
-        order = _coherence_order(nodes, ro, rd)
-        inv = jnp.argsort(order)  # cheaper than a serialized scatter on TPU
+        order, inv = _coherence_order(nodes, ro, rd)
         packed = jnp.take(packed, order, axis=0)
 
     assert not (with_stats and inv is not None), \

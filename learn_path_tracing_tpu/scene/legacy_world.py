@@ -29,13 +29,13 @@ from ..core.types import Hits, Materials, Rays
 from ..geometry.triangle import triangle_barycentrics
 from ..io.obj import MeshData
 from ..io.texture import (
-    EnvironmentMaps,
-    TextureAtlas,
+    StripAtlas,
     TextureManager,
     build_environment_atlas,
     build_texture_atlas,
     make_info_arrays,
-    sample_bilinear,
+    pack_strips,
+    sample_bilinear_strips,
 )
 from . import serialize
 
@@ -75,8 +75,8 @@ class SphereDeviceData:
 class LegacyWorldData:
     meshes: tuple            # tuple[MeshDeviceData, ...]
     spheres: SphereDeviceData | None
-    atlas: TextureAtlas
-    envs: EnvironmentMaps
+    atlas: StripAtlas        # material atlas, strip-packed bf16 (8 channels)
+    envs: StripAtlas         # equirect environments, strip-packed f32 (3 ch)
     env_id: jnp.ndarray      # i32 scalar
     # Deferred-shading table: all meshes' per-triangle attributes packed into
     # one row-per-triangle array so the post-traversal shading pass costs ONE
@@ -267,10 +267,9 @@ class LegacyWorld:
         self._device = LegacyWorldData(
             meshes=tuple(mesh_devices),
             spheres=sphere_device,
-            atlas=TextureAtlas(packed=jnp.asarray(atlas_np, jnp.bfloat16),
-                               info_low=tex_low, info_high=tex_high),
-            envs=EnvironmentMaps(img=jnp.asarray(env_np),
-                                 info_low=env_low, info_high=env_high),
+            atlas=pack_strips(atlas_np, tex_low, tex_high, texels=16,
+                              dtype=jnp.bfloat16),
+            envs=pack_strips(env_np, env_low, env_high, texels=42),
             env_id=jnp.int32(self.environment or 0),
             tri_attr=_tri_attr_table(tuple(mesh_devices)),
         )
@@ -362,10 +361,9 @@ class LegacyWorld:
         self._device = LegacyWorldData(
             meshes=tuple(mesh_devices),
             spheres=sphere_device,
-            atlas=TextureAtlas(packed=jnp.asarray(atlas_np, jnp.bfloat16),
-                               info_low=tex_low, info_high=tex_high),
-            envs=EnvironmentMaps(img=jnp.asarray(env_np),
-                                 info_low=env_low, info_high=env_high),
+            atlas=pack_strips(atlas_np, tex_low, tex_high, texels=16,
+                              dtype=jnp.bfloat16),
+            envs=pack_strips(env_np, env_low, env_high, texels=42),
             env_id=jnp.int32(self.environment or 0),
             tri_attr=_tri_attr_table(tuple(mesh_devices)),
         )
@@ -498,9 +496,8 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
         v_tap = jnp.where(is_mesh, sm_uv[:, 1], v_tap)
         tex_tap = jnp.where(is_mesh, jnp.maximum(m_tex, 0), tex_tap)
 
-    # --- the single material tap ---
-    tap = sample_bilinear(atlas.packed, atlas.info_low, atlas.info_high,
-                          tex_tap, u_tap, v_tap)
+    # --- the single material tap (strip-packed: 2 row gathers) ---
+    tap = sample_bilinear_strips(atlas, tex_tap, u_tap, v_tap, channels=8)
     albedo = jnp.where(hit_mask[:, None], tap[:, 0:3], 0.0)
     roughness = jnp.where(hit_mask, tap[:, 6], 0.0)
     metallic = jnp.where(hit_mask, tap[:, 7], 0.0)
@@ -531,7 +528,7 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
                 material=mat)
 
 
-def environment_color(envs: EnvironmentMaps, env_id, rd, mask=None):
+def environment_color(envs: StripAtlas, env_id, rd, mask=None):
     """Equirect IBL lookup (15_module.py:970-977).
 
     ``mask`` (bool[N], optional): lanes whose result is unused — their tap
@@ -546,4 +543,4 @@ def environment_color(envs: EnvironmentMaps, env_id, rd, mask=None):
         u = jnp.where(mask, u, 0.5)
         v = jnp.where(mask, v, 0.5)
     ids = jnp.broadcast_to(jnp.asarray(env_id, jnp.int32), u.shape)
-    return sample_bilinear(envs.img, envs.info_low, envs.info_high, ids, u, v)
+    return sample_bilinear_strips(envs, ids, u, v, channels=3)

@@ -103,6 +103,9 @@ def run_path_traced(world, camera, cfg: RenderConfig, out_name,
             break
     start = time.time()
     acc = jnp.zeros((cfg.width, cfg.height, 3), jnp.float32)
+    # jitted accumulate: eager jnp ops on tunneled TPU arrays trigger a
+    # remote compile per dispatch (minutes of stall)
+    acc_fn = jax.jit(lambda a, i, w: a + i * w)
     segs_total, done = 0.0, 0
     while done < cfg.spp:
         s = min(chunk, cfg.spp - done)
@@ -110,7 +113,7 @@ def run_path_traced(world, camera, cfg: RenderConfig, out_name,
             wd, cp, res, spp=s, limit=cfg.propagate_limit,
             seed=cfg.seed + done, bsdf=cfg.bsdf, scene=cfg.scene,
             camera_model=cfg.camera_model, hit_backend=cfg.hit_backend)
-        acc = acc + img * (s / cfg.spp)
+        acc = acc_fn(acc, img, s / cfg.spp)
         segs_total += float(segs)
         done += s
     img = acc

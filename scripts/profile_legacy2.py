@@ -78,8 +78,8 @@ def main():
 
     @jax.jit
     def argsort_key(ro, rd):
-        order = _coherence_order(nodes, ro, rd)
-        return jnp.argsort(order)
+        order, inv = _coherence_order(nodes, ro, rd)
+        return inv
 
     t_inf = jnp.full((n,), jnp.inf, jnp.float32)
     alive = jnp.ones((n,), bool)

@@ -18,7 +18,7 @@ def main():
 
     from learn_path_tracing_tpu.camera import Camera
     from learn_path_tracing_tpu.camera.camera import generate_rays_for_pixels
-    from learn_path_tracing_tpu.io.texture import sample_bilinear
+    from learn_path_tracing_tpu.io.texture import sample_bilinear_strips
     from learn_path_tracing_tpu.ops.packet_traverse import (
         _coherence_order, packet_traverse)
     from learn_path_tracing_tpu.scene.legacy_world import (
@@ -60,8 +60,7 @@ def main():
 
     @jax.jit
     def atlas_tap(a, u, v, tex):
-        return sample_bilinear(a.packed, a.info_low, a.info_high,
-                               tex, u, v).sum()
+        return sample_bilinear_strips(a, tex, u, v, channels=8).sum()
 
     @jax.jit
     def env_tap(envs, rd):
@@ -70,7 +69,7 @@ def main():
 
     @jax.jit
     def argsort_only(nd, ro, rd):
-        return jnp.argsort(_coherence_order(nd, ro, rd))
+        return _coherence_order(nd, ro, rd)[1]
 
     @jax.jit
     def hit_full(wd, rays):

@@ -150,6 +150,28 @@ def test_bilinear_wraps_inside_rect():
     assert np.allclose(out, 1.0, atol=1e-5)
 
 
+def test_strip_sampler_matches_classic():
+    # strip packing must reproduce the classic 4-gather bilinear exactly
+    # (same texels, same weights) including u/v wrap-around, multi-rect
+    # atlases, and sub-stride rect widths
+    from learn_path_tracing_tpu.io.texture import (
+        pack_strips, sample_bilinear_strips)
+
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0.0, 2.0, (40, 16, 8)).astype(np.float32)
+    info_low = jnp.array([[0, 0], [19, 0], [24, 3]], jnp.int32)
+    info_high = jnp.array([[19, 16], [24, 5], [40, 11]], jnp.int32)
+    strips = pack_strips(img, info_low, info_high, texels=16)
+    n = 257
+    tex = jnp.asarray(rng.integers(0, 3, n), jnp.int32)
+    u = jnp.asarray(rng.uniform(-0.4, 1.7, n), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.4, 1.7, n), jnp.float32)
+    classic = np.asarray(sample_bilinear(jnp.asarray(img), info_low,
+                                         info_high, tex, u, v))
+    fast = np.asarray(sample_bilinear_strips(strips, tex, u, v, channels=8))
+    np.testing.assert_allclose(fast, classic, rtol=1e-5, atol=1e-5)
+
+
 # ------------------------------------------------------------- serialize --
 
 def _quad_mesh(tex_id=0):
