@@ -90,9 +90,11 @@ def main():
                 wd, cp, res, spp=chunk, limit=args.limit, seed=seed,
                 bsdf=bsdf, scene=scene_kind, hit_backend=args.hit_backend)
 
-        # warm-up compile
+        # warm-up compile + transfer path (block_until_ready can return
+        # early on the tunneled runtime; a scalar readback is the only true
+        # completion signal — see utils/benchlib)
         img, segs = run_chunk(-1)
-        jax.block_until_ready(img)
+        float(jnp.sum(img))
         # jitted accumulate — eager jnp adds on tunneled TPU arrays each
         # trigger a remote compile (minutes); one jitted add compiles once
         add = jax.jit(lambda a, b, s, t: (a + b, s + t))
@@ -106,7 +108,7 @@ def main():
                 total_segs = segs
             else:
                 acc, total_segs = add(acc, img, total_segs, segs)
-        jax.block_until_ready(acc)
+        total_segs = float(total_segs) + float(jnp.sum(acc)) * 0.0
         dt = time.time() - t0
         print(json.dumps({
             "metric": "seconds_to_1024spp_1080p_10final",

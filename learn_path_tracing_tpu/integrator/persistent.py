@@ -49,12 +49,12 @@ POOL_TARGET = 1 << 21  # lanes per pass the chip can keep busy
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
-                                   "engine", "pool_mult"))
+                                   "engine", "pool_mult", "stats"))
 def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
                       hit_backend: str = "auto", engine: str = "auto",
-                      pool_mult: int = 0):
+                      pool_mult: int = 0, stats: bool = False):
     """Returns (image f32[W,H,3], segments f32). Same sample values as
     wavefront.render; per-pixel sum order differs (~1 ulp).
 
@@ -147,9 +147,12 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         c_g = contrib.reshape(groups, spp, 3)
         onehot = (k_g[:, :, None] == jnp.arange(items_per, dtype=jnp.uint32)
                   ).astype(jnp.float32)
+        # precision=HIGHEST: default MXU precision would truncate the
+        # radiance contributions to bf16 (banding in smooth gradients)
         return acc + jax.lax.dot_general(
             onehot, c_g, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     def step(rays, k, bounce, pixel, sample, item_fn):
         """One bounce pass; shared by the full-width and drain loops.
@@ -183,12 +186,12 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         return rays, next_k, bounce, contrib, live
 
     def body(state):
-        rays, k, bounce, acc, segments = state
+        rays, k, bounce, acc, segments, passes = state
         _, pixel, sample = item_of(k)
         rays, next_k, bounce, contrib, live = step(
             rays, k, bounce, pixel, sample, item_of)
         acc = accumulate(acc, k, pixel, contrib)
-        return rays, next_k, bounce, acc, segments + live
+        return rays, next_k, bounce, acc, segments + live, passes + 1.0
 
     acc0 = (jnp.zeros((groups, items_per, 3), jnp.float32) if matmul_acc
             else jnp.zeros((n, 3), jnp.float32))
@@ -198,6 +201,7 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         jnp.zeros((pool,), jnp.uint32),
         acc0,
         jnp.float32(0.0),
+        jnp.float32(0.0),   # pass counter (telemetry)
     )
 
     # Drain compaction: the static item schedule leaves a long straggler
@@ -223,8 +227,9 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                                      > jnp.int32(levels[0]))
     else:
         cond1 = cond
-    rays, k, bounce, acc, segments = jax.lax.while_loop(
+    rays, k, bounce, acc, segments, passes_full = jax.lax.while_loop(
         cond1, body, state0)
+    drain_passes = []
 
     if matmul_acc:
         # acc[g, k] holds pixel g + k*groups → transpose to pixel-major.
@@ -265,16 +270,24 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
             return jnp.any(alive)
 
         def body_d(state, item_of_d=item_of_d, samp_cur=samp_cur):
-            rays, k, bounce, acc, segments = state
+            rays, k, bounce, acc, segments, passes = state
             _, pixel, _ = item_of_d(k)
             rays, next_k, bounce, contrib, live = step(
                 rays, k, bounce, pixel, samp_cur, item_of_d)
             acc = acc.at[pixel].add(contrib)
-            return rays, next_k, bounce, acc, segments + live
+            return rays, next_k, bounce, acc, segments + live, passes + 1.0
 
-        rays, k, bounce, acc_flat, segments = jax.lax.while_loop(
-            cond_d, body_d, (rays, k, bounce, acc_flat, segments))
+        rays, k, bounce, acc_flat, segments, lvl_passes = jax.lax.while_loop(
+            cond_d, body_d,
+            (rays, k, bounce, acc_flat, segments, jnp.float32(0.0)))
+        drain_passes.append(lvl_passes)
 
+    if stats:
+        return (acc_flat / spp).reshape(w, h, 3), segments, {
+            "passes_full": passes_full,
+            "drain_widths": tuple(levels),
+            "drain_passes": tuple(drain_passes),
+        }
     return (acc_flat / spp).reshape(w, h, 3), segments
 
 
@@ -318,7 +331,8 @@ def _render_mega(world_data, cam: CameraParams, resolution, spp: int,
         onehot = (k_g[:, :, None] == karange).astype(jnp.float32)
         # [g, r, k] x [c, g, r] -> [g, k, c]
         delta = jnp.einsum("grk,cgr->gkc", onehot, c_g,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         return acc + delta
 
     def cond(state):

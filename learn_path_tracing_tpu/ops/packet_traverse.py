@@ -283,27 +283,14 @@ def _coherence_key(nodes, ro, rd):
 def _coherence_order(nodes, ro, rd):
     """(order, inv) permutations for coherence sorting.
 
-    XLA's TPU sort cost grows superlinearly in n, so the key array is split
-    into C equal row-chunks sorted independently (one batched sort — the VPU
-    parallelizes across rows). Packets are built from contiguous runs of one
-    sorted chunk; each chunk samples the same key distribution as the whole
-    wavefront, so per-block key homogeneity (all the sort exists to provide)
-    is preserved. The inverse permutation comes from a second batched
-    argsort of the row-local order."""
-    n = ro.shape[0]
+    Global argsort both ways. A chunked variant (C independent row-sorts)
+    was tried and reverted: the argsort is cheap even at pool widths
+    (4.8 ms at 1.84M keys, scripts/profile_sortcost.py) while chunking to
+    ~9k-lane windows destroyed the packet-coherence benefit entirely
+    (secondary traversal regressed 18 ms → 28 ms, the unsorted cost)."""
     key = _coherence_key(nodes, ro, rd)
-    c = 1
-    for cand in range(min(n // (4 * RAY_BLOCK), 256), 1, -1):
-        if n % cand == 0:
-            c = cand
-            break
-    if c <= 1:
-        order = jnp.argsort(key)
-        return order, jnp.argsort(order)
-    order_l = jnp.argsort(key.reshape(c, -1), axis=1)
-    inv_l = jnp.argsort(order_l, axis=1)
-    base = (jnp.arange(c, dtype=order_l.dtype) * (n // c))[:, None]
-    return (order_l + base).reshape(-1), (inv_l + base).reshape(-1)
+    order = jnp.argsort(key)
+    return order, jnp.argsort(order)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",

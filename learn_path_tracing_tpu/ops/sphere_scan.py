@@ -56,10 +56,15 @@ def _kernel(spheres_ref, rays_ref, attrs_ref, t_ref, idx_ref, attr_ref, *,
         flag = spheres_ref[_FLAG, s0:s0 + sc]
 
         # MXU: half_b = ro·rd - rd·c ; cterm = ro·ro - 2 ro·c + (c·c - r²)
+        # precision=HIGHEST: the MXU's default truncates f32 inputs to
+        # bf16, which quantizes hit t (visible ring banding on spheres) and
+        # shifts normals/fresnel at silhouettes
         g1 = jax.lax.dot_general(rd3, negc, dn,
-                                 preferred_element_type=jnp.float32)  # [B,sc]
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         g2 = jax.lax.dot_general(ro3, m2c, dn,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         half_b = o_dot_d[:, None] + g1
         cterm = (o_dot_o[:, None] + g2) + ccc[None, :]
         disc = half_b * half_b - cterm
@@ -96,7 +101,8 @@ def _kernel(spheres_ref, rays_ref, attrs_ref, t_ref, idx_ref, attr_ref, *,
         onehot = (rows == idx_best[None, :]).astype(jnp.float32)   # [S, B]
         attr_ref[:, :] = jax.lax.dot_general(
             attrs_ref[:, :], onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
