@@ -195,10 +195,8 @@ def _kernel(table_ref, attr_ref, scalf_ref, scali_ref, stf_ref, sti_ref,
         m2c = table_ref[_M2C0:_M2C0 + 3, s0:s0 + sc]
         ccc = table_ref[_CCC, s0:s0 + sc]
         flag = table_ref[_FLAG, s0:s0 + sc]
-        g1 = lax.dot_general(rd3, negc, dn, preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
-        g2 = lax.dot_general(ro3, m2c, dn, preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
+        g1 = lax.dot_general(rd3, negc, dn, preferred_element_type=jnp.float32)
+        g2 = lax.dot_general(ro3, m2c, dn, preferred_element_type=jnp.float32)
         half_b = o_dot_d[:, None] + g1
         cterm = (o_dot_o[:, None] + g2) + ccc[None, :]
         disc = half_b * half_b - cterm
@@ -220,7 +218,6 @@ def _kernel(table_ref, attr_ref, scalf_ref, scali_ref, stf_ref, sti_ref,
     rows = lax.broadcasted_iota(jnp.int32, (s_total, B), 0)
     onehot = (rows == idx_best[None, :]).astype(jnp.float32)
     attr = lax.dot_general(attr_ref[:, :], onehot, (((1,), (0,)), ((), ())),
-                           precision=lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
 
     hit = t_best < jnp.float32(jnp.inf)

@@ -7,15 +7,22 @@ quadratic-solve intermediate stays in VMEM (the pure-XLA formulation in
 geometry/sphere.py materializes ``[N, S]`` buffers through HBM, which is
 bandwidth-bound at full resolution).
 
-v2 design notes:
-- the two per-(ray, sphere) dot products ride the MXU as
-  ``[3,B]ᵀ·[3,S]`` contractions against *prescaled* center rows
-  (``-C`` and ``-2C``), so ``half_b`` and the c-term are single adds;
-- rays are passed transposed (``f32[8, N]``: rows x,y,z of ro and rd plus
-  the precomputed per-ray ro·rd and ro·ro) so the wavefront axis is the
-  128-lane dimension;
-- the sphere table is packed ``f32[8, S]``: rows 0-2 = -center, 3-5 =
-  -2·center... (see _pack_table), with S padded to a lane multiple.
+v3 design notes (precision):
+- The v2 kernel rode the MXU with an *expanded* quadratic
+  (``rd·(-c)``/``ro·(-2c)`` contractions). Mosaic lowers f32 matmuls at
+  bf16 input precision (like XLA:TPU's default), which quantized hit ``t``
+  — visible ring banding on every sphere and a fresnel/normal bias on the
+  stage-8 glass (golden mean error 3.1/255); ``precision=HIGHEST`` fixed
+  quality but fell off the MXU fast path (headline 68.7 → 43.7 Mrays/s).
+  v3 instead evaluates the reference's well-conditioned per-pair form
+  (``oc = ro - c`` first, 8_refract/world.py:45-57) as dense f32 VPU math
+  over ``[block, chunk]`` tiles — exact f32, same conditioning as the
+  reference, no MXU in the search at all (measured within ~15% of v2's
+  speed: the scan was VPU/latency-bound, not MXU-bound).
+- The winning sphere's 16 attribute values are still gathered with a
+  one-hot MXU contraction, exact via a static 3-way bf16 split of the
+  attribute table (hi/mid/lo rows reconstruct f32 to 2^-26; the one-hot
+  operand is exactly representable, so each partial product is exact).
 """
 
 from __future__ import annotations
@@ -30,79 +37,83 @@ from jax.experimental.pallas import tpu as pltpu
 RAY_BLOCK = 512     # rays per grid step
 SPHERE_CHUNK = 512  # sphere columns per inner iteration (bounds VMEM temps)
 
-# ray-array rows
-_ROX, _ROY, _ROZ, _RDX, _RDY, _RDZ, _ODD, _OOO = range(8)
-# sphere-table rows: 0-2 = -c, 3-5 = -2c, 6 = |c|^2 - r^2, 7 = flags
-# flags: 1.0 valid opaque, 2.0 valid transparent, 0.0 padding
-_NEGC0, _NEGC1, _NEGC2, _M2C0, _M2C1, _M2C2, _CCC, _FLAG = range(8)
+# ray-array rows (rays on the lane axis)
+_ROX, _ROY, _ROZ, _RDX, _RDY, _RDZ = range(6)
+# sphere-table columns of the [S, 8] sphere-major table: 0-2 = center,
+# 3 = r^2, 4 = flags (1.0 valid opaque, 2.0 valid transparent, 0.0 padding)
+_CX, _CY, _CZ, _R2, _FLAG = range(5)
 
 
 def _kernel(spheres_ref, rays_ref, attrs_ref, t_ref, idx_ref, attr_ref, *,
             s_total, t_min, n_attr):
-    rd3 = rays_ref[_RDX:_RDZ + 1, :]          # f32[3, B]
-    ro3 = rays_ref[_ROX:_ROZ + 1, :]
-    o_dot_d = rays_ref[_ODD, :]               # f32[B]
-    o_dot_o = rays_ref[_OOO, :]
+    b = rays_ref.shape[1]
+    # rays as [1, B] rows, spheres as [sc, 1] columns → every per-pair
+    # intermediate is [sc, B] with spheres on sublanes and rays on lanes;
+    # no lane↔sublane transposes anywhere (Mosaic lowers those terribly)
+    ro = [rays_ref[_ROX + d:_ROX + d + 1, :] for d in range(3)]   # [1, B]
+    rd = [rays_ref[_RDX + d:_RDX + d + 1, :] for d in range(3)]
 
-    t_best = jnp.full(o_dot_d.shape, jnp.inf, jnp.float32)
-    idx_best = jnp.zeros(o_dot_d.shape, jnp.int32)
+    t_best = jnp.full((1, b), jnp.inf, jnp.float32)
+    idx_best = jnp.zeros((1, b), jnp.int32)
 
-    dn = (((0,), (0,)), ((), ()))
     for s0 in range(0, s_total, SPHERE_CHUNK):
         sc = min(SPHERE_CHUNK, s_total - s0)
-        negc = spheres_ref[_NEGC0:_NEGC2 + 1, s0:s0 + sc]    # [3, sc]
-        m2c = spheres_ref[_M2C0:_M2C2 + 1, s0:s0 + sc]
-        ccc = spheres_ref[_CCC, s0:s0 + sc]
-        flag = spheres_ref[_FLAG, s0:s0 + sc]
+        c = [spheres_ref[s0:s0 + sc, _CX + d:_CX + d + 1] for d in range(3)]
+        r2 = spheres_ref[s0:s0 + sc, _R2:_R2 + 1]                 # [sc, 1]
+        flag = spheres_ref[s0:s0 + sc, _FLAG:_FLAG + 1]
 
-        # MXU: half_b = ro·rd - rd·c ; cterm = ro·ro - 2 ro·c + (c·c - r²)
-        # precision=HIGHEST: the MXU's default truncates f32 inputs to
-        # bf16, which quantizes hit t (visible ring banding on spheres) and
-        # shifts normals/fresnel at silhouettes
-        g1 = jax.lax.dot_general(rd3, negc, dn,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-        g2 = jax.lax.dot_general(ro3, m2c, dn,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-        half_b = o_dot_d[:, None] + g1
-        cterm = (o_dot_o[:, None] + g2) + ccc[None, :]
-        disc = half_b * half_b - cterm
-        # Lean validity: sqrt of a negative disc is NaN and every compare
-        # with NaN is false, so misses AND padding columns (ccc = +inf →
-        # disc = -inf) fall out of the single `t >= t_min` test — no
-        # explicit disc>=0 / flag>0.5 lanes. NaN/inf must be selected away
-        # BEFORE the min-reduce (min propagates NaN).
+        # exact f32 per-pair quadratic, reference formulation
+        # (oc = ro - c; half_b = -oc·rd; c0 = oc·oc - r²)
+        oc = [ro[d] - c[d] for d in range(3)]                     # [sc, B]
+        half_b = -(oc[0] * rd[0] + oc[1] * rd[1] + oc[2] * rd[2])
+        c0 = oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2] - r2
+        disc = half_b * half_b - c0
+        # sqrt of negative disc is NaN; every compare with NaN is false, so
+        # misses AND padding rows (r2 = -inf → disc = -inf) fall out of
+        # the single t >= t_min test. NaN/inf must be selected away BEFORE
+        # the min-reduce (min propagates NaN).
         sq = jnp.sqrt(disc)
-        t_near = -half_b - sq
-        use_far = (t_near < t_min) & (flag[None, :] > 1.5)
-        t = jnp.where(use_far, t_near + 2.0 * sq, t_near)
+        t_near = half_b - sq
+        use_far = (t_near < t_min) & (flag > 1.5)
+        t = jnp.where(use_far, half_b + sq, t_near)
         t = jnp.where(t >= t_min, t, jnp.inf)
 
-        # chunk-local min + first-index argmin
-        t_chunk = jnp.min(t, axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        hit_col = jnp.where(t == t_chunk[:, None], col, jnp.int32(2 ** 30))
-        idx_chunk = jnp.min(hit_col, axis=1) + s0
+        # chunk-local min + first-index argmin over the sphere (sublane) axis
+        t_chunk = jnp.min(t, axis=0, keepdims=True)               # [1, B]
+        row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        hit_row = jnp.where(t == t_chunk, row, jnp.int32(2 ** 30))
+        idx_chunk = jnp.min(hit_row, axis=0, keepdims=True) + s0
 
         better = t_chunk < t_best
         t_best = jnp.where(better, t_chunk, t_best)
         idx_best = jnp.where(better, idx_chunk, idx_best)
 
-    t_ref[0, :] = t_best
-    idx_ref[0, :] = idx_best
+    t_ref[0, :] = t_best[0]
+    idx_ref[0, :] = idx_best[0]
 
     # Epilogue: gather the winning sphere's attribute rows with a one-hot
-    # MXU contraction — an exact gather (one nonzero per column, products
-    # exact) that replaces XLA's serialized per-row takes on the host side
-    # (measured ~52 ms/pass at 1280x720 in round 2 profiling).
+    # MXU contraction — exact despite Mosaic's bf16 matmul inputs because
+    # the table is pre-split into 3 bf16-representable magnitude levels
+    # (hi/mid/lo; one-hot entries are 0/1, so every product is exact and
+    # the f32 accumulator reconstructs the value to 2^-26).
     if n_attr:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (s_total, t_best.shape[0]), 0)
-        onehot = (rows == idx_best[None, :]).astype(jnp.float32)   # [S, B]
-        attr_ref[:, :] = jax.lax.dot_general(
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s_total, b), 0)
+        onehot = (rows == idx_best).astype(jnp.float32)            # [S, B]
+        part = jax.lax.dot_general(
             attrs_ref[:, :], onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32)                    # [3A, B]
+        attr_ref[:, :] = (part[0:n_attr, :] + part[n_attr:2 * n_attr, :]
+                          + part[2 * n_attr:3 * n_attr, :])
+
+
+def _split3(v):
+    """Static 3-way bf16 magnitude split: v ≈ hi + mid + lo with every part
+    exactly bf16-representable (reconstruction error ≤ |v|·2^-26)."""
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = v - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (r1 - mid).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, mid, lo
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
@@ -126,25 +137,24 @@ def intersect_spheres_pallas(ro, rd, centers, radii, transparency, t_min=1e-4,
     rays = jnp.zeros((8, n_pad), jnp.float32)
     rays = rays.at[_ROX:_ROZ + 1, :n].set(ro.T)
     rays = rays.at[_RDX:_RDZ + 1, :n].set(rd.T)
-    rays = rays.at[_ODD, :n].set(jnp.sum(ro * rd, axis=-1))
-    rays = rays.at[_OOO, :n].set(jnp.sum(ro * ro, axis=-1))
 
-    # Padding and radius<=0 columns get ccc = +inf so their disc is -inf
+    # Sphere-major table [s_pad, 8] (spheres on sublanes in-kernel).
+    # Padding and radius<=0 rows get r2 = -inf so their disc is -inf
     # (NaN after sqrt) — they can never win the nearest-hit min.
-    table = jnp.zeros((8, s_pad), jnp.float32)
-    table = table.at[_CCC, :].set(jnp.inf)
-    table = table.at[_NEGC0:_NEGC2 + 1, :s].set(-centers.T)
-    table = table.at[_M2C0:_M2C2 + 1, :s].set(-2.0 * centers.T)
-    table = table.at[_CCC, :s].set(jnp.where(
-        radii > 0, jnp.sum(centers * centers, -1) - radii * radii, jnp.inf))
+    table = jnp.zeros((s_pad, 8), jnp.float32)
+    table = table.at[:, _R2].set(-jnp.inf)
+    table = table.at[:s, _CX:_CZ + 1].set(centers)
+    table = table.at[:s, _R2].set(jnp.where(
+        radii > 0, radii * radii, -jnp.inf))
     flags = jnp.where(radii > 0,
                       jnp.where(transparency > 0, 2.0, 1.0), 0.0)
-    table = table.at[_FLAG, :s].set(flags)
+    table = table.at[:s, _FLAG].set(flags)
 
     n_attr = 0 if attrs is None else attrs.shape[0]
     if n_attr:
-        attr_tab = jnp.zeros((n_attr, s_pad), jnp.float32)
-        attr_tab = attr_tab.at[:, :s].set(attrs.astype(jnp.float32))
+        a = jnp.zeros((n_attr, s_pad), jnp.float32)
+        a = a.at[:, :s].set(attrs.astype(jnp.float32))
+        attr_tab = jnp.concatenate(_split3(a), axis=0)   # [3A, s_pad]
     else:
         attr_tab = jnp.zeros((8, s_pad), jnp.float32)  # unused placeholder
 
@@ -153,7 +163,7 @@ def intersect_spheres_pallas(ro, rd, centers, radii, transparency, t_min=1e-4,
         functools.partial(_kernel, s_total=s_pad, t_min=t_min, n_attr=n_attr),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((attr_tab.shape[0], s_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

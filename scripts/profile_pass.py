@@ -8,6 +8,10 @@ Usage:  python scripts/profile_pass.py [--width 1280 --height 720]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -308,6 +308,37 @@ def test_hit_legacy_mesh_and_sphere():
     assert np.allclose(np.asarray(h.material.albedo[0]), 0.5 ** 2.2, atol=1e-3)
 
 
+def test_hit_legacy_multi_mesh():
+    # Two meshes composed in one world (the reference builds one BVH per
+    # mesh and min-reduces across them, 15_module.py:807-810): nearest mesh
+    # must win per ray, attributes must come from the right mesh, and the
+    # global prim offsets of the shared tri_attr table must resolve.
+    world = LegacyWorld()
+    near = _quad_mesh()
+    world.add_mesh(near)                       # quad at z=0
+    far = _quad_mesh()
+    far.positions = far.positions + np.array([0, 0, -3], np.float32)
+    world.add_mesh(far)                        # identical quad at z=-3
+    world.textures.add("missing", 0, size=(8, 8))
+    world.set_environment(0)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        world.build()
+    wd = world.device()
+    assert len(wd.meshes) == 2
+    # from the front: near quad wins; from behind: far quad wins
+    h = hit_legacy(wd, _rays([[0.5, 1.0, 5], [0.5, 1.0, -8]],
+                             [[0, 0, -1], [0, 0, 1]]))
+    assert bool(h.hit[0]) and bool(h.hit[1])
+    assert np.isclose(float(h.t[0]), 5.0, atol=1e-4)
+    assert np.isclose(float(h.t[1]), 5.0, atol=1e-4)
+    assert np.allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-5)
+    # backface of the far quad (its geometric normal faces +z)
+    assert np.allclose(np.asarray(h.normal[1]), [0, 0, -1], atol=1e-5)
+
+
 def test_hit_legacy_backface():
     world = _built_world()
     wd = world.device()
