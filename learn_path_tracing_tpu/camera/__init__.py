@@ -1,3 +1,3 @@
-from .camera import Camera, CameraParams, generate_rays, rotation_matrix
+from .camera import (Camera, CameraParams, LegacyCamera, generate_rays, rotation_matrix)
 
 __all__ = ["Camera", "CameraParams", "generate_rays", "rotation_matrix"]

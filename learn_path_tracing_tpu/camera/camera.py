@@ -36,6 +36,11 @@ class CameraParams:
     fov: jnp.ndarray           # f32 degrees (horizontal)
     focal_length: jnp.ndarray  # f32
     aperture: jnp.ndarray      # f32
+    # fov degrees → half-angle factor. The modern camera treats fov as the
+    # full horizontal angle (view_width = 2·tan(fov/2), 9_dof/camera.py:81);
+    # the legacy camera treats it as the HALF angle (view_width =
+    # 2·tan(fov), 12_free_view.py:216) — so 'fov 30' is ~2x wider there.
+    fov_scale: jnp.ndarray = None  # f32: 0.5 modern, 1.0 legacy
 
 
 def rotation_matrix(yaw_deg, pitch_deg, roll_deg):
@@ -76,7 +81,8 @@ def generate_rays_for_pixels(params: CameraParams, resolution, pixel_ids,
     fj = (pix % jnp.uint32(h)).astype(jnp.float32)
 
     trans = rotation_matrix(params.yaw, params.pitch, params.roll)
-    view_width = 2.0 * jnp.tan(jnp.deg2rad(params.fov) / 2.0)
+    fov_scale = params.fov_scale if params.fov_scale is not None else 0.5
+    view_width = 2.0 * jnp.tan(jnp.deg2rad(params.fov) * fov_scale)
     view_height = view_width * (h / w)
     direction = trans @ jnp.array([0.0, 0.0, -1.0], jnp.float32)
     width_axis = trans @ jnp.array([1.0, 0.0, 0.0], jnp.float32)
@@ -127,6 +133,8 @@ def generate_rays(params: CameraParams, resolution, seed, sample,
 
 class Camera:
     """Host camera state mirroring the reference's Camera class."""
+
+    FOV_SCALE = 0.5   # full-angle fov (modern line)
 
     def __init__(self, resolution, fov=60.0, focal_length=1.0, aperture=0.0):
         self.resolution = (int(resolution[0]), int(resolution[1]))
@@ -197,7 +205,17 @@ class Camera:
             fov=f32(self.fov),
             focal_length=f32(self.focal_length),
             aperture=f32(self.aperture),
+            fov_scale=f32(self.FOV_SCALE),
         )
 
     def get_rays(self, seed=0, sample=0, model="thinlens") -> Rays:
         return generate_rays(self.params(), self.resolution, seed, sample, model)
+
+
+class LegacyCamera(Camera):
+    """Camera with the legacy line's fov convention: ``fov`` is the HALF
+    horizontal angle (view_width = 2·tan(fov), 12_free_view.py:216,231) —
+    the legacy scripts' ``set_fov(30)`` frames ~2x wider than the modern
+    camera's. Everything else is shared."""
+
+    FOV_SCALE = 1.0

@@ -404,7 +404,8 @@ def pack_camera(cam, resolution):
 
     w, h = resolution
     trans = rotation_matrix(cam.yaw, cam.pitch, cam.roll)
-    view_width = 2.0 * jnp.tan(jnp.deg2rad(cam.fov) / 2.0)
+    fov_scale = cam.fov_scale if cam.fov_scale is not None else 0.5
+    view_width = 2.0 * jnp.tan(jnp.deg2rad(cam.fov) * fov_scale)
     view_height = view_width * (h / w)
     direction = trans @ jnp.array([0.0, 0.0, -1.0], jnp.float32)
     width_axis = trans @ jnp.array([1.0, 0.0, 0.0], jnp.float32)

@@ -34,7 +34,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 512     # rays per grid step
+import os
+
+RAY_BLOCK = int(os.environ.get("LPT_SPHERE_BLOCK", "512"))  # rays per grid step
 SPHERE_CHUNK = 512  # sphere columns per inner iteration (bounds VMEM temps)
 
 # ray-array rows (rays on the lane axis)

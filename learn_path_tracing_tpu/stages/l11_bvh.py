@@ -10,7 +10,7 @@ import random as _random
 
 import jax
 
-from ..camera import Camera
+from ..camera import LegacyCamera
 from ..core.types import Material
 from ..integrator.wavefront import render
 from ..scene.world import Sphere, World
@@ -57,7 +57,7 @@ def main():
     world = legacy_random_scene()
     wd = world.device(use_bvh=True)
 
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(20)
     cam.set_len(10, 0.1)
 

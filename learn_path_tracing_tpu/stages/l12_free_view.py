@@ -12,7 +12,7 @@ a comma-separated move list (e.g. "w,w,a,r+10-5,.,.") where '.' holds still
 
 import jax
 
-from ..camera import Camera
+from ..camera import LegacyCamera
 from ..viewer.progressive import ProgressiveRenderer
 from .common import parse_args
 from ..utils.config import STAGE_CONFIGS
@@ -67,7 +67,7 @@ def main():
     world = legacy_random_scene()
     wd = world.device(use_bvh=True)
 
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(20)
     cam.set_position((13, 2, 3))
     cam.look_at((0, 0, 0))

@@ -6,7 +6,7 @@ PBR-textured sphere (sandyground1), equirect environment, camera at
 
 import jax
 
-from ..camera import Camera
+from ..camera import LegacyCamera
 from ..integrator.wavefront import render
 from ..scene.legacy_world import LegacyWorld
 from .common import parse_args
@@ -28,7 +28,7 @@ def main():
     world.set_environment(0)
     wd = world.build()
 
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((13 * 0.3, 2 * 0.3, 3 * 0.3))
     cam.look_at((0, 0, 0))

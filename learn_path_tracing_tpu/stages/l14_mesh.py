@@ -12,7 +12,7 @@ import warnings
 
 import jax
 
-from ..camera import Camera
+from ..camera import LegacyCamera
 from ..scene.legacy_world import LegacyWorld
 from ..viewer.progressive import ProgressiveRenderer
 from .common import parse_args
@@ -41,7 +41,7 @@ def main():
         warnings.simplefilter("ignore")
         wd = world.load(path, path_map=make_asset_path_map())
 
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))
     cam.look_at((0, 8, 0))

@@ -14,7 +14,7 @@ import warnings
 import jax
 import numpy as np
 
-from ..camera import Camera
+from ..camera import LegacyCamera
 from ..io.obj import load_obj
 from ..scene.legacy_world import LegacyWorld
 from ..viewer.progressive import ProgressiveRenderer
@@ -63,7 +63,7 @@ def main():
 
     wd = build_yoimiya_world(save_path="outputs/Yoimiya.world.npy")
 
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))
     cam.look_at((0, 8, 0))

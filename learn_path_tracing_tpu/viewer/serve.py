@@ -178,14 +178,14 @@ def _encode_png(frame) -> bytes:
 
 def build_scene(name: str, res, asset_root=None):
     """Returns (world_data, camera, bsdf, scene_kind, hit_backend)."""
-    from ..camera import Camera
+    from ..camera import LegacyCamera
 
     if name == "spheres":
         from ..stages.l11_bvh import legacy_random_scene
 
         world = legacy_random_scene()
         wd = world.device(use_bvh=True)
-        cam = Camera(res)
+        cam = LegacyCamera(res)
         cam.set_fov(20)
         cam.set_position((13, 2, 3))
         cam.look_at((0, 0, 0))
@@ -203,7 +203,7 @@ def build_scene(name: str, res, asset_root=None):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         wd = world.load(path, path_map=make_asset_path_map(asset_root))
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     if _os.path.basename(path).startswith("demo"):
         cam.set_position((0, 2, 8))

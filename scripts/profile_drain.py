@@ -22,7 +22,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from learn_path_tracing_tpu.camera import Camera
+    from learn_path_tracing_tpu.camera import LegacyCamera
     from learn_path_tracing_tpu.integrator.persistent import render_persistent
     from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
     from learn_path_tracing_tpu.stages.legacy_common import make_asset_path_map
@@ -33,7 +33,7 @@ def main():
         warnings.simplefilter("ignore")
         wd = world.load("/root/reference/legacy/Yoimiya.world.npy",
                         path_map=make_asset_path_map())
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))
     cam.look_at((0, 8, 0))

@@ -27,7 +27,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from learn_path_tracing_tpu.bsdf.bsdf import scatter_legacy
-    from learn_path_tracing_tpu.camera import Camera
+    from learn_path_tracing_tpu.camera import LegacyCamera
     from learn_path_tracing_tpu.camera.camera import generate_rays_for_pixels
     from learn_path_tracing_tpu.core import rng
     from learn_path_tracing_tpu.core.pytree import tree_where
@@ -51,7 +51,7 @@ def main():
         warnings.simplefilter("ignore")
         wd = world.load("/root/reference/legacy/Yoimiya.world.npy",
                         path_map=make_asset_path_map())
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))
     cam.look_at((0, 8, 0))

@@ -16,7 +16,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from learn_path_tracing_tpu.camera import Camera
+    from learn_path_tracing_tpu.camera import LegacyCamera
     from learn_path_tracing_tpu.camera.camera import generate_rays_for_pixels
     from learn_path_tracing_tpu.io.texture import sample_bilinear_strips
     from learn_path_tracing_tpu.ops.packet_traverse import (
@@ -33,7 +33,7 @@ def main():
         warnings.simplefilter("ignore")
         wd = world.load("/root/reference/legacy/Yoimiya.world.npy",
                         path_map=make_asset_path_map())
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))
     cam.look_at((0, 8, 0))

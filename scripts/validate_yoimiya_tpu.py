@@ -28,7 +28,7 @@ def main():
     p.add_argument("--world", type=str,
                    default="/root/reference/legacy/Yoimiya.world.npy")
     p.add_argument("--golden", type=str,
-                   default="/root/reference/legacy/Yoimiya.png")
+                   default="/root/reference/legacy/Yoimiya_pose.png")
     p.add_argument("--save-dir", type=str, default=None)
     args = p.parse_args()
 
@@ -36,7 +36,7 @@ def main():
     import numpy as np
     from PIL import Image
 
-    from learn_path_tracing_tpu.camera import Camera
+    from learn_path_tracing_tpu.camera import LegacyCamera
     from learn_path_tracing_tpu.core import image
     from learn_path_tracing_tpu.integrator.persistent import render_persistent
     from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
@@ -57,7 +57,7 @@ def main():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         wd = world.load(args.world, path_map=make_asset_path_map())
-    cam = Camera(res)
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))
     cam.look_at((0, 8, 0))
