@@ -184,12 +184,16 @@ def build_scene(name: str, res, asset_root=None):
         from ..stages.l11_bvh import legacy_random_scene
 
         world = legacy_random_scene()
+        # hit_backend 'auto' (Pallas scan): the XLA lockstep sphere-BVH walk
+        # ('bvh') reproducibly faults the tunneled TPU worker — see
+        # tests/test_bvh.py for its CPU coverage; the scan is faster here
+        # anyway (~500 spheres)
         wd = world.device(use_bvh=True)
         cam = LegacyCamera(res)
         cam.set_fov(20)
         cam.set_position((13, 2, 3))
         cam.look_at((0, 0, 0))
-        return wd, cam, "legacy", "spheres", "bvh"
+        return wd, cam, "legacy", "spheres", "auto"
 
     # mesh world: a name like 'demo'/'Yoimiya' or a .world.npy path
     import os as _os
