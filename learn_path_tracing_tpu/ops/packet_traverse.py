@@ -143,15 +143,14 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
     ro2 = [rays_ref[_RO + d:_RO + d + 1, :] for d in range(3)]   # [1,B]
     rd2 = [rays_ref[_RD + d:_RD + d + 1, :] for d in range(3)]
     inv2 = [1.0 / rd2[d] for d in range(3)]
-    active = rays_ref[_ACTIVE, :] > 0.5
-    active2 = rays_ref[_ACTIVE:_ACTIVE + 1, :] > 0.5             # [1,B]
-
+    # Inactive lanes arrive with t_init = -inf (encoded by the wrapper):
+    # every `< t_best + eps` test is then false, so no per-pop active-mask
+    # AND is needed anywhere; the wrapper restores their original t after.
     t_ref[0, :] = rays_ref[_TINIT, :]
     prim_ref[0, :] = jnp.full((b,), -1, jnp.int32)
     stack_ref[0] = jnp.int32(0)   # root node
     stack_t_ref[0] = jnp.float32(0.0)
-    neg_inf = jnp.float32(-jnp.inf)
-    t_cap0 = jnp.max(jnp.where(active, rays_ref[_TINIT, :], neg_inf))
+    t_cap0 = jnp.max(rays_ref[_TINIT, :])  # -inf lanes never raise the cap
 
     def cond(carry):
         sp, it, t_cap = carry
@@ -180,14 +179,14 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
                 t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
             t_best2 = t_ref[0:1, :]
             lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
-                        & (t0 < t_best2 + eps) & active2)     # [8,B]
+                        & (t0 < t_best2 + eps))                # [8,B]
             ent = entries_ref[pl.ds(code, 1), 0:WIDTH].reshape(WIDTH, 1)
-            anyv = jnp.any(lane_hit, axis=1, keepdims=True)    # [8,1]
-            anyv = anyv & (ent != _PAD)
-            # packet entry distance per child (for ordering + stale pruning)
+            # packet entry distance per child — doubles as the validity
+            # signal (tmin = +inf ⟺ no lane hit), saving a second full
+            # cross-lane reduction per pop
             tmin = jnp.min(jnp.where(lane_hit, jnp.maximum(t0, 0.0),
                                      jnp.inf), axis=1, keepdims=True)
-            key = jnp.where(anyv, tmin, jnp.inf)               # [8,1]
+            key = jnp.where(ent != _PAD, tmin, jnp.inf)        # [8,1]
             # extract to scalars once, then a scalar sorting network orders
             # children near-to-far (misses carry +inf keys, sink to tail)
             keyv = [key[c, 0] for c in range(WIDTH)]
@@ -235,8 +234,9 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
                          + rd2[2] * coef(10)) + coef(11))
             w3 = 1.0 - w1 - w2
             t_b = t_ref[0, :]
+            # inactive lanes have t_b = -inf → never ok, no mask needed
             ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
-                  & active2 & (t < t_b[None, :]))               # [8,B]
+                  & (t < t_b[None, :]))                         # [8,B]
             t_masked = jnp.where(ok, t, jnp.inf)
             t_new = jnp.min(t_masked, axis=0)                   # [B]
             improved = jnp.isfinite(t_new) & (t_new < t_b)
@@ -249,10 +249,11 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
             t_ref[0, :] = jnp.where(improved, t_new, t_b)
             prim_ref[0, :] = pid
 
-        # tighten the stale-pop cap after leaves (where t_best improves)
+        # tighten the stale-pop cap after leaves (where t_best improves);
+        # inactive lanes sit at -inf and never raise the max
         new_cap = jnp.where(
             live & (code < 0) & (code != _PAD),
-            jnp.max(jnp.where(active, t_ref[0, :], neg_inf)), t_cap)
+            jnp.max(t_ref[0, :]), t_cap)
         return sp - 1 + cnt_ref[0], it + 1, new_cap
 
     _, it_final, _ = lax.while_loop(
@@ -314,8 +315,12 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     # Pack the 8 per-ray fields into rows FIRST so the coherence reorder is
     # one row gather instead of 8 separate takes (measured ~10 ms → ~2 ms at
     # 230k rays: XLA takes are row-latency-bound, not byte-bound).
+    # Inactive lanes are encoded as t_init = -inf: inside the kernel every
+    # `< t_best + eps` comparison then fails, removing all per-pop
+    # active-mask ANDs; their original t_init is restored on the way out.
+    t_enc = jnp.where(active, t_init, -jnp.inf)
     packed = jnp.concatenate(
-        [ro, rd, t_init[:, None], active.astype(jnp.float32)[:, None]],
+        [ro, rd, t_enc[:, None], active.astype(jnp.float32)[:, None]],
         axis=1)                                              # [N, 8]
     inv = None
     if sort_rays and n > RAY_BLOCK:
@@ -327,7 +332,7 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
 
     rays = jnp.zeros((8, n_pad), jnp.float32)
     rays = rays.at[:, :n].set(packed.T)
-    rays = rays.at[_TINIT, n:].set(jnp.inf)
+    rays = rays.at[_TINIT, n:].set(-jnp.inf)   # padding lanes: inert
 
     # Shared-stack capacity: each pushed level adds <= 8 entries; the wide
     # tree depth is not carried on WideBVH here, so bound by a generous
@@ -370,8 +375,12 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
         interpret=interpret,
     )(nodes, entries, runs, rays)
     if with_stats:
-        return t[0, :n], prim[0, :n], iters[0, ::RAY_BLOCK]
+        t_out = jnp.where(active, t[0, :n], t_init)
+        return t_out, prim[0, :n], iters[0, ::RAY_BLOCK]
     if inv is not None:
-        return jnp.take(t[0, :n], inv, axis=0), jnp.take(prim[0, :n], inv,
-                                                         axis=0)
-    return t[0, :n], prim[0, :n]
+        t_out = jnp.take(t[0, :n], inv, axis=0)
+        p_out = jnp.take(prim[0, :n], inv, axis=0)
+    else:
+        t_out, p_out = t[0, :n], prim[0, :n]
+    # restore inactive lanes' original t (they carried -inf in-kernel)
+    return jnp.where(active, t_out, t_init), p_out

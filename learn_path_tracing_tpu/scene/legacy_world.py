@@ -296,7 +296,8 @@ class LegacyWorld:
         )
 
     def load(self, filename, path_map=None,
-             rebuild_bvh: bool = True) -> LegacyWorldData:
+             rebuild_bvh: bool = True,
+             textures_from_obj: str | None = None) -> LegacyWorldData:
         """Load a .world.npy (either schema era).
 
         ``rebuild_bvh=True`` (default) rebuilds the acceleration structures
@@ -305,12 +306,34 @@ class LegacyWorld:
         up to ~60 primitives, which multiply the lockstep traversal's
         per-iteration unroll cost ~15x. ``rebuild_bvh=False`` uses the
         file's trees exactly as stored (parity/debugging).
+
+        ``textures_from_obj``: 14-era files (demo/Ganyu/Zhongli/
+        Yoimiya_ShapeChange) carry no texture configs — the reference loads
+        textures separately from the companion OBJ's materials into fixed
+        2048-wide atlas slots (14_mesh.py:994-999). Pass the OBJ path to
+        reproduce that; the file's face texture_ids index those slots.
         """
         data = serialize.load_world_npy(filename)
         self.environment = data["environment"]
 
         if data["textures"] is not None:
             self.textures.load(data["textures"])
+        elif textures_from_obj is not None:
+            from ..io.obj import load_obj
+
+            obj_path = (path_map(textures_from_obj) if path_map
+                        else textures_from_obj)
+            mats = load_obj(obj_path, texture_start_id=0).textures
+            configs = []
+            for i, m in enumerate(mats):
+                configs.append({
+                    "file_path": m["file_path"],
+                    "size": (2048, 2048), "id": int(m["id"]),
+                    "area": {"low": (i * 2048, 0),
+                             "high": ((i + 1) * 2048, 2048)},
+                })
+            self.textures.size = (2048 * max(len(configs), 1), 2048)
+            self.textures.configs = configs
         if data["environments"] is not None:
             self.environments.load(data["environments"])
         _default_environment(self.environments)
@@ -401,6 +424,7 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
     import jax
 
     use_packet = jax.default_backend() != "cpu"
+    sort_rays = os.environ.get("LPT_PACKET_SORT", "1") != "0"
     for k, mesh in enumerate(world.meshes):
         # seed best-t with prior structures' results: later BVHs prune
         # subtrees already occluded by earlier geometry
@@ -409,7 +433,8 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
 
             nodes, entries, runs = mesh.packet
             t, p = packet_traverse(nodes, entries, runs, ro, rd,
-                                   t_init=t_best, active=rays.alive, eps=eps)
+                                   t_init=t_best, active=rays.alive, eps=eps,
+                                   sort_rays=sort_rays)
         elif mesh.wide is not None:
             lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
             t, p = traverse_wide(mesh.wide, ro, rd, lt, eps=eps, t_init=t_best)

@@ -53,10 +53,13 @@ def main():
     pooled = lin.reshape(res[1], s, res[0], s, 3).mean((1, 3))
     golden = pooled ** (1 / 2.2)   # [h, w, 3] raster
 
+    from learn_path_tracing_tpu.stages.legacy_common import companion_obj_for
+
     world = LegacyWorld()
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        wd = world.load(args.world, path_map=make_asset_path_map())
+        wd = world.load(args.world, path_map=make_asset_path_map(),
+                        textures_from_obj=companion_obj_for(args.world))
     cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))

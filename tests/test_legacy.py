@@ -245,6 +245,29 @@ def test_reference_worlds_load():
             assert int(m["cut"][-1]) == m["faces"]["p"].shape[0]
 
 
+@pytest.mark.slow
+def test_14era_world_textures_from_companion_obj():
+    # 14-era files carry no texture configs; the reference loads them from
+    # the companion OBJ's materials into fixed 2048-wide slots
+    # (14_mesh.py:994-999). Without this, Zhongli renders as a black
+    # silhouette (zero albedo).
+    from learn_path_tracing_tpu.stages.legacy_common import (
+        companion_obj_for, make_asset_path_map)
+
+    path = f"{REF_LEGACY}/Zhongli.world.npy"
+    world = LegacyWorld()
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        wd = world.load(path, path_map=make_asset_path_map(),
+                        textures_from_obj=companion_obj_for(path))
+    assert len(world.textures.configs) >= 4
+    # atlas must contain real texture data (nonzero albedo somewhere)
+    a = np.asarray(wd.atlas.table, np.float32)
+    assert float(np.abs(a).max()) > 0.01
+
+
 def test_malicious_pickle_rejected(tmp_path):
     import pickle
 
