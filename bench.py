@@ -27,6 +27,8 @@ def main():
     p.add_argument("--limit", type=int, default=32)
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--hit-backend", type=str, default="auto")
+    p.add_argument("--pool-mult", type=int, default=0,
+                   help="persistent pool multiplier override (0 = auto)")
     p.add_argument("--scene", type=str, default="10_final",
                    choices=["10_final", "yoimiya"],
                    help="10_final: sphere cover scene (headline); "
@@ -121,7 +123,8 @@ def main():
     def run(seed):
         return render_persistent(wd, cp, res, spp=args.spp, limit=args.limit,
                                  seed=seed, bsdf=bsdf, scene=scene_kind,
-                                 hit_backend=args.hit_backend)
+                                 hit_backend=args.hit_backend,
+                                 pool_mult=args.pool_mult)
 
     dt, (img, segs) = time_fn(run, 0, iters=2)
     mrays = float(segs) / dt / 1e6

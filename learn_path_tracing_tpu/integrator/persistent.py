@@ -82,25 +82,23 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     matmul_acc = (n % spp == 0)
 
     # Pool multiplier q: run q samples' wavefronts concurrently (pool = q*n
-    # lanes) so small renders still fill the chip and per-pass fixed costs
-    # (sorts, regen, accumulate) amortize. The work-item algebra carries
-    # over: with spp | n and q | spp, item k of lane L is
-    # pixel = L//spp + k*G (G = pool//spp), sample = L % spp, k < spp//q.
+    # lanes). The work-item algebra carries over: with spp | n and q | spp,
+    # item k of lane L is pixel = L//spp + k*G (G = pool//spp),
+    # sample = L % spp, k < spp//q.
+    #
+    # Default q=1 — measured fastest at EVERY size on v5e (10_final spp64:
+    # 89.8 vs 82.8 at q=2 vs 75.0 at q=4; 320x180 spp256: 140 vs 89 at
+    # auto-q=8; interactive 640x360 spp128: 110 vs 96). Both compute
+    # engines walk their ray blocks sequentially, so a wider pool adds no
+    # parallelism; it only shortens the per-lane item list (occupancy decay
+    # dominates sooner), widens the drain levels, and grows the sort.
+    # ``pool_mult`` remains as an explicit override for experiments.
     if not matmul_acc:
         q = 1
     elif pool_mult:
         q = pool_mult
-    elif scene == "legacy":
-        # Mesh worlds traverse via the packet kernel, which walks its ray
-        # blocks sequentially on the scalar core — a wider pool adds no
-        # parallelism, degrades per-chunk sort quality, and shortens the
-        # full-occupancy steady state (fewer items per lane). q=1 measured
-        # fastest on the Yoimiya workload.
-        q = 1
     else:
         q = 1
-        while q * 2 <= spp and spp % (q * 2) == 0 and 2 * q * n <= POOL_TARGET:
-            q *= 2
     pool = q * n
     items_per = spp // q if matmul_acc else spp
     lanes = jnp.arange(pool, dtype=jnp.uint32)
