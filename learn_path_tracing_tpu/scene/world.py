@@ -158,6 +158,17 @@ def hit(world: SphereWorldData, rays: Rays, t_min: float = 1e-4,
 
         if world.bvh is None:
             raise ValueError("World.device(use_bvh=True) required for 'bvh'")
+        import jax
+
+        if jax.default_backend() != "cpu" and rays.count > 65536:
+            import warnings
+
+            warnings.warn(
+                "hit backend 'bvh' (lockstep XLA traversal) is minutes-slow "
+                "at wavefront scale on TPU and can outlive the device "
+                "watchdog (worker restart); use 'pallas'/'auto' there. "
+                "'bvh' remains the portable reference implementation.",
+                stacklevel=2)
         lt = make_sphere_leaf_test(world.centers, world.radii,
                                    world.materials.transparency, eps=t_min)
         t, idx = traverse(world.bvh, rays.ro, rays.rd, lt, eps=t_min)
