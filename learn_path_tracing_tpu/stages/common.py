@@ -40,11 +40,14 @@ def parse_args(cfg: RenderConfig, description="") -> RenderConfig:
     p.add_argument("--seed", type=int, default=cfg.seed)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--hit-backend", type=str, default=cfg.hit_backend,
+                   choices=["auto", "xla", "pallas", "bvh"])
     a = p.parse_args()
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
     return cfg.with_(width=a.width, height=a.height, spp=a.spp, out=a.out,
-                     propagate_limit=a.limit, seed=a.seed)
+                     propagate_limit=a.limit, seed=a.seed,
+                     hit_backend=a.hit_backend)
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "camera_model"))

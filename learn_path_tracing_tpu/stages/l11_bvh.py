@@ -66,9 +66,13 @@ def main():
         cam.set_position((15 * math.cos(0.1 * i + 1e-4), 2,
                           15 * math.sin(0.1 * i + 1e-4)))
         cam.look_at((0, 0, 0))
+        # hit_backend from config (default 'auto'): the lockstep 'bvh'
+        # walk is the reference-structure demo but outlives the TPU
+        # watchdog at full wavefront width — pass --hit-backend bvh to
+        # force it (fine on CPU / small renders)
         img, _ = render(wd, cam.params(), res, spp=args.spp,
                         limit=min(args.limit, 10), seed=i, bsdf="legacy",
-                        hit_backend="bvh")
+                        hit_backend=args.hit_backend)
         img = jax.jit(lambda x: x ** (1 / 2.2))(img)
         save_frame(img, args.out or f"outputs/l11_bvh_{i:03d}.png")
         if args.out:

@@ -22,7 +22,7 @@ from .legacy_common import save_frame
 VELOCITY = 1.0
 
 
-def apply_move(cam: Camera, token: str) -> bool:
+def apply_move(cam: LegacyCamera, token: str) -> bool:
     """Apply one move token; returns True if the camera moved."""
     if token == ".":
         return False

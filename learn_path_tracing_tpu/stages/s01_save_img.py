@@ -10,7 +10,10 @@ from .common import parse_args
 from ..utils.config import STAGE_CONFIGS
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def shader(resolution_w, resolution_h):
     i = jnp.arange(resolution_w, dtype=jnp.float32)[:, None]
     j = jnp.arange(resolution_h, dtype=jnp.float32)[None, :]

@@ -55,7 +55,7 @@ STAGE_CONFIGS = {
     9: RenderConfig(spp=8192),
     10: RenderConfig(spp=8192),
     "l11": RenderConfig(width=640, height=360, spp=128, propagate_limit=10,
-                        bsdf="legacy", hit_backend="bvh"),
+                        bsdf="legacy", hit_backend="auto"),
     "l12": RenderConfig(width=640, height=360, spp=128, propagate_limit=10,
                         bsdf="legacy"),
     "l13": RenderConfig(spp=128, bsdf="legacy"),
