@@ -44,8 +44,6 @@ from ..core.pytree import tree_where
 from .wavefront import _scene_fns
 
 
-POOL_TARGET = 1 << 21  # lanes per pass the chip can keep busy
-
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
