@@ -61,13 +61,19 @@ def traverse(bvh: FlatBVH, ro, rd, leaf_test, eps: float = T_MIN,
     depth_cap = bvh.max_depth + 2
     max_leaf = bvh.max_leaf
     n_prim = bvh.prim.shape[0]
+    n_nodes = bvh.left.shape[0]
+    # Hard iteration backstop: a lockstep traversal visits at most every
+    # node once per lane (2*nodes stack events); without a bound, any
+    # pathological input would spin until the TPU watchdog kills the
+    # worker process (observed with the tunneled runtime).
+    max_iters = 4 * n_nodes + 64
 
     def cond(state):
-        sp = state[1]
-        return jnp.any(sp >= 0)
+        sp, it = state[1], state[4]
+        return jnp.any(sp >= 0) & (it < max_iters)
 
     def body(state):
-        stack, sp, t_best, prim_best = state
+        stack, sp, t_best, prim_best, it = state
         active = sp >= 0
         slot = jnp.clip(sp, 0, depth_cap - 1)
         cur = stack_read(stack, slot)
@@ -108,15 +114,15 @@ def traverse(bvh: FlatBVH, ro, rd, leaf_test, eps: float = T_MIN,
         new_sp = jnp.where(push, sp + 1, jnp.where(active, sp - 1, sp))
         new_slot = jnp.clip(new_sp, 0, depth_cap - 1)
         stack = stack_write(stack, new_slot, right, push)
-        return stack, new_sp, t_best, prim_best
+        return stack, new_sp, t_best, prim_best, it + 1
 
     stack0 = jnp.zeros((n, depth_cap), jnp.int32)
     sp0 = jnp.zeros((n,), jnp.int32)
     t0 = (jnp.full((n,), jnp.inf, jnp.float32) if t_init is None
           else jnp.asarray(t_init))
     p0 = jnp.full((n,), -1, jnp.int32)
-    _, _, t_best, prim_best = jax.lax.while_loop(
-        cond, body, (stack0, sp0, t0, p0))
+    _, _, t_best, prim_best, _ = jax.lax.while_loop(
+        cond, body, (stack0, sp0, t0, p0, jnp.int32(0)))
     return t_best, prim_best
 
 

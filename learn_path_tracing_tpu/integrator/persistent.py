@@ -210,11 +210,14 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     def _round256(v):
         return -(-v // 256) * 256
 
+    import os as _os
+
+    _ratio = int(_os.environ.get("LPT_DRAIN_RATIO", "8"))
     levels = []
-    lw = _round256(pool // 8)
+    lw = _round256(pool // _ratio)
     while matmul_acc and lw >= 256 and lw < (levels[-1] if levels else pool):
         levels.append(lw)
-        lw = _round256(lw // 8)
+        lw = _round256(lw // _ratio)
 
     if levels:
         def cond1(state):

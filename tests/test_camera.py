@@ -112,3 +112,33 @@ def test_free_fly_moves():
     assert np.allclose(cam.position, (1, 0.5, -2), atol=1e-6)
     cam.rotate(0, 200.0)
     assert cam.pitch == 89.0  # clamped
+
+
+def test_legacy_fov_convention():
+    # The legacy camera's fov is the HALF horizontal angle
+    # (view_width = 2*tan(fov), 12_free_view.py:216,231); the modern camera
+    # uses the full angle (2*tan(fov/2), 9_dof/camera.py:81). A 30-degree
+    # setting must frame ~2x wider on the legacy line.
+    import math
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from learn_path_tracing_tpu.camera import Camera, LegacyCamera
+    from learn_path_tracing_tpu.camera.camera import generate_rays_for_pixels
+
+    res = (9, 5)
+    for cls, half_w in [(Camera, math.tan(math.radians(15.0))),
+                        (LegacyCamera, math.tan(math.radians(30.0)))]:
+        cam = cls(res, fov=30.0)
+        cam.set_direction(0, 0)
+        cam.set_position((0, 0, 0))
+        # center-of-pixel rays; the rightmost column's direction encodes the
+        # horizontal extent: x/(-z) = (i/(w-1) - 0.5) * view_width at i=w-1
+        pix = jnp.arange(res[0] * res[1], dtype=jnp.uint32)
+        rays = generate_rays_for_pixels(cam.params(), res, pix, 0, 0,
+                                        model="center")
+        rd = np.asarray(rays.rd).reshape(res[0], res[1], 3)
+        edge = rd[-1, res[1] // 2]
+        ratio = edge[0] / -edge[2]
+        np.testing.assert_allclose(ratio, half_w, rtol=1e-5)
