@@ -265,20 +265,28 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
 
 
 def _coherence_key(nodes, ro, rd):
-    """Sort key grouping rays by origin cell (16^3 over the root AABB) and
+    """Sort key grouping rays by origin cell over the root AABB and
     direction octant, so packet blocks traverse small node unions. Bounce
     wavefronts are incoherent in lane order; unsorted, every 512-lane block
     walks ~the whole tree (~300 ms/pass measured on the 23k-tri Yoimiya
-    mesh at 640x360) while the argsort + state gathers cost ~10 ms."""
+    mesh at 640x360) while the argsort + state gathers cost ~10 ms.
+
+    Env knobs for experiments: LPT_SORT_CELLS (default 16 per axis),
+    LPT_SORT_OCTANT_MAJOR=1 puts the direction octant in the high bits."""
+    cells = int(os.environ.get("LPT_SORT_CELLS", "16"))
+    octant_major = os.environ.get("LPT_SORT_OCTANT_MAJOR", "0") == "1"
     lo = jnp.stack([jnp.min(nodes[0, d * 8:(d + 1) * 8]) for d in range(3)])
     hi = jnp.stack([jnp.max(nodes[0, (3 + d) * 8:(4 + d) * 8])
                     for d in range(3)])
     span = jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip(((ro - lo) / span * 16.0).astype(jnp.int32), 0, 15)
+    q = jnp.clip(((ro - lo) / span * cells).astype(jnp.int32), 0, cells - 1)
     octant = ((rd[:, 0] > 0).astype(jnp.int32)
               + 2 * (rd[:, 1] > 0).astype(jnp.int32)
               + 4 * (rd[:, 2] > 0).astype(jnp.int32))
-    return (((q[:, 0] * 16 + q[:, 1]) * 16 + q[:, 2]) * 8) + octant
+    cell = (q[:, 0] * cells + q[:, 1]) * cells + q[:, 2]
+    if octant_major:
+        return octant * (cells ** 3) + cell
+    return cell * 8 + octant
 
 
 def _coherence_order(nodes, ro, rd):

@@ -74,3 +74,51 @@ def test_tile_padding_handled(devices):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_tile=3, n_spp=3)
+
+
+def test_legacy_mesh_tile_sharding_bit_identical(devices):
+    """The legacy scene pipeline (triangle BVH + atlas taps + environment)
+    sharded over pixel tiles is bit-identical to single-device — the full
+    mesh path, not just spheres."""
+    import warnings
+
+    import numpy as np_
+
+    from learn_path_tracing_tpu.camera import LegacyCamera
+    from learn_path_tracing_tpu.io.obj import MeshData
+    from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
+
+    world = LegacyWorld()
+    world.add_mesh(MeshData(
+        positions=np_.array([[-1, 0, 0], [1, 0, 0], [1, 2, 0], [-1, 2, 0]],
+                            np_.float32),
+        normals=np_.array([[0, 0, 1]], np_.float32),
+        uvs=np_.array([[0, 0], [1, 0], [1, 1], [0, 1]], np_.float32),
+        face_p=np_.array([[0, 1, 2], [0, 2, 3]], np_.int32),
+        face_n=np_.array([[0, 0, 0], [0, 0, 0]], np_.int32),
+        face_t=np_.array([[0, 1, 2], [0, 2, 3]], np_.int32),
+        face_tex=np_.array([0, 0], np_.int32),
+    ))
+    world.add_sphere((0, 1, 2), 0.5, transparency=0, texture_id=0)
+    world.textures.add("missing", 0, size=(8, 8))
+    world.set_environment(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        wd = world.build()
+
+    cam = LegacyCamera(RES)
+    cam.set_fov(30)
+    cam.set_position((0, 1, 6))
+    cam.look_at((0, 1, 0))
+
+    ref, ref_segs = None, None
+    img0, segs0 = render(wd, cam.params(), RES, spp=SPP, limit=LIMIT,
+                         seed=5, bsdf="legacy", scene="legacy")
+    ref, ref_segs = np.asarray(img0), float(segs0)
+
+    mesh = make_mesh(n_tile=8, n_spp=1)
+    img, segs = render_multichip(wd, cam.params(), RES, SPP, mesh,
+                                 limit=LIMIT, seed=5, bsdf="legacy",
+                                 scene="legacy")
+    assert np.array_equal(np.asarray(img), ref)
+    assert float(segs) == ref_segs
