@@ -29,6 +29,10 @@ def main():
     p.add_argument("--hit-backend", type=str, default="auto")
     p.add_argument("--pool-mult", type=int, default=0,
                    help="persistent pool multiplier override (0 = auto)")
+    p.add_argument("--pool-div", type=int, default=0,
+                   help="persistent pool divisor override (0 = auto); "
+                        "pool = n/pool_div lanes, each running "
+                        "pool_div*spp work items")
     p.add_argument("--scene", type=str, default="10_final",
                    choices=["10_final", "yoimiya"],
                    help="10_final: sphere cover scene (headline); "
@@ -113,7 +117,7 @@ def main():
         total_segs = float(total_segs) + float(jnp.sum(acc)) * 0.0
         dt = time.time() - t0
         print(json.dumps({
-            "metric": "seconds_to_1024spp_1080p_10final",
+            "metric": f"seconds_to_1024spp_1080p_{args.scene}",
             "value": round(dt, 1),
             "unit": "s",
             "vs_baseline": round(float(total_segs) / dt / 1e8, 3),
@@ -124,7 +128,8 @@ def main():
         return render_persistent(wd, cp, res, spp=args.spp, limit=args.limit,
                                  seed=seed, bsdf=bsdf, scene=scene_kind,
                                  hit_backend=args.hit_backend,
-                                 pool_mult=args.pool_mult)
+                                 pool_mult=args.pool_mult,
+                                 pool_div=args.pool_div)
 
     dt, (img, segs) = time_fn(run, 0, iters=2)
     mrays = float(segs) / dt / 1e6

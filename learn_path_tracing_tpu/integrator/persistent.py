@@ -47,12 +47,14 @@ from .wavefront import _scene_fns
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
-                                   "engine", "pool_mult", "stats"))
+                                   "engine", "pool_mult", "pool_div",
+                                   "stats"))
 def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
                       hit_backend: str = "auto", engine: str = "auto",
-                      pool_mult: int = 0, stats: bool = False):
+                      pool_mult: int = 0, pool_div: int = 0,
+                      stats: bool = False):
     """Returns (image f32[W,H,3], segments f32). Same sample values as
     wavefront.render; per-pixel sum order differs (~1 ulp).
 
@@ -79,26 +81,48 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     hit_fn, background_fn = _scene_fns(scene)
     matmul_acc = (n % spp == 0)
 
-    # Pool multiplier q: run q samples' wavefronts concurrently (pool = q*n
-    # lanes). The work-item algebra carries over: with spp | n and q | spp,
-    # item k of lane L is pixel = L//spp + k*G (G = pool//spp),
-    # sample = L % spp, k < spp//q.
+    # Pool sizing. The work-item algebra holds for ANY pool size with
+    # spp | pool and pool | n*spp: item k of lane L is
+    # pixel = L//spp + k*G (G = pool//spp), sample = L % spp,
+    # k < items_per = n*spp/pool.
     #
-    # Default q=1 — measured fastest at EVERY size on v5e (10_final spp64:
-    # 89.8 vs 82.8 at q=2 vs 75.0 at q=4; 320x180 spp256: 140 vs 89 at
-    # auto-q=8; interactive 640x360 spp128: 110 vs 96). Both compute
-    # engines walk their ray blocks sequentially, so a wider pool adds no
-    # parallelism; it only shortens the per-lane item list (occupancy decay
-    # dominates sooner), widens the drain levels, and grows the sort.
-    # ``pool_mult`` remains as an explicit override for experiments.
+    # pool > n (pool_mult, round-1 experiment) was measured slower at every
+    # size on v5e: both compute engines walk ray blocks sequentially, so a
+    # wider pool adds no parallelism — it only shortens per-lane item lists
+    # (occupancy decay dominates sooner), widens drain levels, grows the
+    # sort. pool < n (pool_div) goes the other way: longer item lists =
+    # sharper lane-work concentration = higher occupancy, at the price of
+    # more passes (per-pass fixed overhead). Default: auto policy below.
+    if pool_mult and pool_div:
+        raise ValueError("pool_mult and pool_div are mutually exclusive")
     if not matmul_acc:
-        q = 1
+        if pool_mult or pool_div:
+            raise ValueError(
+                f"pool_mult/pool_div need spp | n (n={n}, spp={spp})")
+        pool = n
     elif pool_mult:
-        q = pool_mult
+        if spp % pool_mult != 0:
+            # items_per = spp // q truncates; a non-divisor q would silently
+            # drop the last spp % q samples of every pixel (image still
+            # divided by the full spp → darkened render).
+            raise ValueError(
+                f"pool_mult={pool_mult} must divide spp={spp} "
+                f"(each lane runs spp/pool_mult work items)")
+        pool = pool_mult * n
+    elif pool_div:
+        # Fractional pool: fewer lanes, each running pool_div*spp work
+        # items. Longer per-lane item lists concentrate total lane work
+        # around the mean (CLT), so end-of-schedule occupancy decay — the
+        # dominant loss at large n (61% occupancy at 921k lanes, round 1) —
+        # shrinks as 1/sqrt(items_per). The item algebra needs spp | pool.
+        if (n % pool_div) or ((n // pool_div) % spp):
+            raise ValueError(
+                f"pool_div={pool_div}: need pool = n/pool_div to be a "
+                f"multiple of spp (n={n}, spp={spp})")
+        pool = n // pool_div
     else:
-        q = 1
-    pool = q * n
-    items_per = spp // q if matmul_acc else spp
+        pool = n
+    items_per = (n * spp) // pool if matmul_acc else spp
     lanes = jnp.arange(pool, dtype=jnp.uint32)
     groups = pool // spp if matmul_acc else 0
 

@@ -115,9 +115,14 @@ def _area_field(area, key):
 
 
 def _probe_size(file_path):
+    path = file_path if os.path.exists(file_path) else file_path + "_albedo.png"
+    if path.endswith(".exr"):
+        from .exr import read_exr
+
+        arr = read_exr(path)
+        return (arr.shape[1], arr.shape[0])  # (w, h)
     from PIL import Image
 
-    path = file_path if os.path.exists(file_path) else file_path + "_albedo.png"
     with Image.open(path) as img:
         return img.size  # (w, h)
 
@@ -199,11 +204,17 @@ def build_environment_atlas(configs, atlas_size, path_map=None) -> np.ndarray:
         if os.path.exists(path):
             if path.endswith(".exr"):
                 try:
-                    import imageio.v2 as imageio
+                    from .exr import read_exr
 
-                    env = np.asarray(imageio.imread(path), np.float32)
-                except Exception as e:  # decoder missing
-                    warnings.warn(f"EXR decode failed ({e}): {path}")
+                    env = np.asarray(read_exr(path), np.float32)[..., :3]
+                except Exception:
+                    try:  # fall back to imageio if a plugin exists
+                        import imageio.v2 as imageio
+
+                        env = np.asarray(imageio.imread(path),
+                                         np.float32)[..., :3]
+                    except Exception as e:
+                        warnings.warn(f"EXR decode failed ({e}): {path}")
             else:
                 from PIL import Image
 

@@ -335,8 +335,11 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
         order, inv = _coherence_order(nodes, ro, rd)
         packed = jnp.take(packed, order, axis=0)
 
-    assert not (with_stats and inv is not None), \
-        "with_stats: use sort_rays=False to keep block identity"
+    if with_stats and inv is not None:
+        # an assert would vanish under `python -O` and the stats path would
+        # silently return t/prim in sorted order without applying inv
+        raise ValueError(
+            "with_stats requires sort_rays=False to keep block identity")
 
     rays = jnp.zeros((8, n_pad), jnp.float32)
     rays = rays.at[:, :n].set(packed.T)

@@ -227,6 +227,9 @@ def main():
     p.add_argument("--spp", type=int, default=16, help="samples per pass")
     p.add_argument("--limit", type=int, default=10)
     p.add_argument("--port", type=int, default=8413)
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address; the server is unauthenticated, so "
+                        "pass 0.0.0.0 only to deliberately expose it")
     p.add_argument("--velocity", type=float, default=1.0)
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--max-frames", type=int, default=0,
@@ -248,7 +251,7 @@ def main():
                              hit_backend=hit_backend)
 
     state = ViewerState()
-    server = ThreadingHTTPServer(("0.0.0.0", args.port),
+    server = ThreadingHTTPServer((args.host, args.port),
                                  _make_handler(state))
     threading.Thread(target=server.serve_forever, daemon=True).start()
     print(f"viewer: http://localhost:{args.port}/  (scene={args.scene})",
