@@ -48,13 +48,13 @@ from .wavefront import _scene_fns
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
                                    "engine", "pool_mult", "pool_div",
-                                   "stats"))
+                                   "drain_ratio", "stats"))
 def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
                       hit_backend: str = "auto", engine: str = "auto",
                       pool_mult: int = 0, pool_div: int = 0,
-                      stats: bool = False):
+                      drain_ratio: int = 8, stats: bool = False):
     """Returns (image f32[W,H,3], segments f32). Same sample values as
     wavefront.render; per-pixel sum order differs (~1 ulp).
 
@@ -76,7 +76,37 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     if engine == "mega":
         return _render_mega(world_data, cam, resolution, spp, limit, seed)
     n = w * h
+    out = _persistent_core(
+        world_data, cam, resolution, n, 0, 0, spp, limit, seed, bsdf,
+        camera_model, scene, hit_backend, pool_mult, pool_div, drain_ratio,
+        stats)
+    if stats:
+        acc_flat, segments, st = out
+        return (acc_flat / spp).reshape(w, h, 3), segments, st
+    acc_flat, segments = out
+    return (acc_flat / spp).reshape(w, h, 3), segments
+
+
+def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
+                     pixel_base, sample_base, spp: int, limit: int, seed,
+                     bsdf: str, camera_model: str, scene: str,
+                     hit_backend: str, pool_mult: int, pool_div: int,
+                     drain_ratio: int, stats: bool):
+    """Persistent render over a pixel range and sample range.
+
+    Traces samples ``[sample_base, sample_base + spp)`` of pixels
+    ``[pixel_base, pixel_base + n)`` of the full ``resolution`` image and
+    returns ``(acc f32[n, 3] radiance sums, segments f32)`` (plus a stats
+    dict when requested). ``pixel_base``/``sample_base`` may be traced
+    scalars — this is the shard body for parallel.mesh's tile/spp-sharded
+    persistent path: the item schedule, drain cascade and accumulation are
+    all local to the range, so a shard needs no cross-chip traffic until
+    the final image gather. RNG streams are keyed on absolute
+    (pixel, sample), so per-sample radiance is reshard-invariant.
+    """
     total = n * spp
+    pixel_base = jnp.uint32(pixel_base)
+    sample_base = jnp.uint32(sample_base)
     scatter = SCATTERERS[bsdf]
     hit_fn, background_fn = _scene_fns(scene)
     matmul_acc = (n % spp == 0)
@@ -143,7 +173,10 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         return valid, pixel, sample
 
     def primary(pixel, sample):
-        return generate_rays_for_pixels(cam, resolution, pixel, seed, sample,
+        # item-algebra pixels/samples are range-local; RNG + camera take
+        # absolute ids so shards compute identical per-sample radiance
+        return generate_rays_for_pixels(cam, resolution, pixel + pixel_base,
+                                        seed, sample + sample_base,
                                         model=camera_model)
 
     valid0, pix0, samp0 = item_of(jnp.uint32(0))
@@ -185,8 +218,9 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
             escaped[:, None],
             background_fn(world_data, rays.rd, escaped) * rays.throughput, 0.0)
 
-        base = rng.base(rng.stream(seed, sample, bounce, rng.STREAM_BSDF),
-                        pixel)
+        base = rng.base(rng.stream(seed, sample + sample_base, bounce,
+                                   rng.STREAM_BSDF),
+                        pixel + pixel_base)
         scattered = scatter(rays, hits, base)
         survived = rays.alive & hits.hit & (bounce + 1 < limit)
 
@@ -234,9 +268,7 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     def _round256(v):
         return -(-v // 256) * 256
 
-    import os as _os
-
-    _ratio = int(_os.environ.get("LPT_DRAIN_RATIO", "8"))
+    _ratio = drain_ratio  # 8 measured best on v5e (4 worse; see BASELINE.md)
     levels = []
     lw = _round256(pool // _ratio)
     while matmul_acc and lw >= 256 and lw < (levels[-1] if levels else pool):
@@ -306,12 +338,12 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
         drain_passes.append(lvl_passes)
 
     if stats:
-        return (acc_flat / spp).reshape(w, h, 3), segments, {
+        return acc_flat, segments, {
             "passes_full": passes_full,
             "drain_widths": tuple(levels),
             "drain_passes": tuple(drain_passes),
         }
-    return (acc_flat / spp).reshape(w, h, 3), segments
+    return acc_flat, segments
 
 
 def _render_mega(world_data, cam: CameraParams, resolution, spp: int,
