@@ -271,10 +271,15 @@ def _coherence_key(nodes, ro, rd):
     walks ~the whole tree (~300 ms/pass measured on the 23k-tri Yoimiya
     mesh at 640x360) while the argsort + state gathers cost ~10 ms.
 
-    Env knobs for experiments: LPT_SORT_CELLS (default 16 per axis),
-    LPT_SORT_OCTANT_MAJOR=1 puts the direction octant in the high bits."""
-    cells = int(os.environ.get("LPT_SORT_CELLS", "16"))
-    octant_major = os.environ.get("LPT_SORT_OCTANT_MAJOR", "0") == "1"
+    Key layout (ablated on Yoimiya, BASELINE.md): origin locality dominates
+    direction (cell-major 4.57 Mrays/s vs octant-major 3.99 vs unsorted
+    3.44). The cell id is a Morton (bit-interleaved) code rather than the
+    earlier lexicographic (x-major) id: lexicographic order strides the
+    whole scene along y/z between consecutive x rows, so a packet spanned
+    distant geometry; Morton order keeps consecutive keys in compact 3D
+    blocks. Direction octant stays in the LOW bits."""
+    bits = 5  # 32 cells per axis
+    cells = 1 << bits
     lo = jnp.stack([jnp.min(nodes[0, d * 8:(d + 1) * 8]) for d in range(3)])
     hi = jnp.stack([jnp.max(nodes[0, (3 + d) * 8:(4 + d) * 8])
                     for d in range(3)])
@@ -283,9 +288,14 @@ def _coherence_key(nodes, ro, rd):
     octant = ((rd[:, 0] > 0).astype(jnp.int32)
               + 2 * (rd[:, 1] > 0).astype(jnp.int32)
               + 4 * (rd[:, 2] > 0).astype(jnp.int32))
-    cell = (q[:, 0] * cells + q[:, 1]) * cells + q[:, 2]
-    if octant_major:
-        return octant * (cells ** 3) + cell
+
+    def _spread(v):  # 5 bits -> every 3rd position (Morton interleave)
+        v = (v | (v << 8)) & 0x0300F
+        v = (v | (v << 4)) & 0x030C3
+        v = (v | (v << 2)) & 0x09249
+        return v
+
+    cell = (_spread(q[:, 0]) << 2) | (_spread(q[:, 1]) << 1) | _spread(q[:, 2])
     return cell * 8 + octant
 
 

@@ -408,23 +408,39 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
     prim_best = jnp.full((n,), -1, jnp.int32)
     src_best = jnp.full((n,), -1, jnp.int32)  # -1 none, 0 spheres, 1+k mesh k
 
+    # The Pallas kernels are the fast path on accelerators; the XLA
+    # lockstep walk stays as the CPU/portable fallback (Pallas interpret
+    # mode re-traces the in-kernel while_loop per block — far slower on CPU
+    # than the native XLA formulation).
+    import jax
+
+    on_accel = jax.default_backend() != "cpu"
+
     if world.spheres is not None:
         s = world.spheres
-        lt = make_sphere_leaf_test(s.center, s.radius, s.transparency, eps=eps)
-        t, p = traverse(s.bvh, ro, rd, lt, eps=eps)
+        if on_accel:
+            # Brute Pallas scan instead of the lockstep BVH walk: legacy
+            # scenes cap at ~500 spheres (11_bvh.py:424-431) where the scan
+            # wins outright, and the lockstep walk at wavefront scale on
+            # TPU outlives the device watchdog (scene/world.py note).
+            from ..ops.sphere_scan import intersect_spheres_pallas
+
+            t, p = intersect_spheres_pallas(ro, rd, s.center, s.radius,
+                                            s.transparency, t_min=eps)
+            t = jnp.where(jnp.isfinite(t), t, jnp.inf)
+        else:
+            lt = make_sphere_leaf_test(s.center, s.radius, s.transparency,
+                                       eps=eps)
+            t, p = traverse(s.bvh, ro, rd, lt, eps=eps)
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
         prim_best = jnp.where(better, p, prim_best)
         src_best = jnp.where(better, 0, src_best)
 
-    # The Pallas packet kernel is the mesh fast path on accelerators; the
-    # XLA lockstep walk stays as the CPU/portable fallback (Pallas interpret
-    # mode re-traces the in-kernel while_loop per block — far slower on CPU
-    # than the native XLA formulation).
-    import jax
-
-    use_packet = jax.default_backend() != "cpu"
-    sort_rays = os.environ.get("LPT_PACKET_SORT", "1") != "0"
+    use_packet = on_accel
+    # coherence sort measured net-positive end-to-end (4.57 vs 3.44 Mrays/s
+    # on Yoimiya without it); packet_traverse skips it below 1 block anyway
+    sort_rays = True
     for k, mesh in enumerate(world.meshes):
         # seed best-t with prior structures' results: later BVHs prune
         # subtrees already occluded by earlier geometry

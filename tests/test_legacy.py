@@ -433,3 +433,40 @@ def test_demo_world_renders():
     img, _ = render(wd, cam.params(), (24, 16), spp=1, limit=3, seed=0,
                     bsdf="legacy", scene="legacy")
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sphere_scan_matches_lockstep_legacy_semantics(np_rng):
+    """hit_legacy routes sphere intersection through the Pallas brute scan
+    on accelerators (the lockstep BVH walk is watchdog-fatal at wavefront
+    scale on TPU); the two backends must agree on the legacy sphere rules
+    (t_min epsilon + transparent far-root, 11_bvh.py:424-431)."""
+    from learn_path_tracing_tpu.accel.bvh import build_bvh
+    from learn_path_tracing_tpu.accel.traverse import (
+        make_sphere_leaf_test,
+        traverse,
+    )
+    from learn_path_tracing_tpu.ops.sphere_scan import intersect_spheres_pallas
+
+    ns, nr = 97, 256
+    centers = (np_rng.random((ns, 3)).astype(np.float32) - 0.5) * 20
+    radii = (np_rng.random(ns).astype(np.float32) * 0.8 + 0.2)
+    transparency = (np_rng.random(ns) < 0.3).astype(np.float32)
+    ro = (np_rng.random((nr, 3)).astype(np.float32) - 0.5) * 24
+    rd = np_rng.normal(size=(nr, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    bvh = build_bvh(centers - radii[:, None], centers + radii[:, None],
+                    centroid=centers, max_depth=10, max_leaf=4)
+    lt = make_sphere_leaf_test(jnp.asarray(centers), jnp.asarray(radii),
+                               jnp.asarray(transparency))
+    t0, p0 = traverse(bvh, jnp.asarray(ro), jnp.asarray(rd), lt)
+    t1, p1 = intersect_spheres_pallas(
+        jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(centers),
+        jnp.asarray(radii), jnp.asarray(transparency), interpret=True)
+    t1 = jnp.where(jnp.isfinite(t1), t1, jnp.inf)
+
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    hit0 = np.isfinite(t0)
+    assert np.array_equal(hit0, np.isfinite(t1))
+    np.testing.assert_allclose(t0[hit0], t1[hit0], rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(p0)[hit0], np.asarray(p1)[hit0])
