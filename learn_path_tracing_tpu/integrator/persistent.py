@@ -43,6 +43,10 @@ from ..core import rng
 from ..core.pytree import tree_where
 from .wavefront import _scene_fns
 
+# Smallest auto-policy pool: 56 sphere-kernel blocks of 1024 lanes — enough
+# grid steps to amortize per-pass fixed costs (measured knee on v5e; the
+# n/32 = 28.8k-lane point regressed 106.9 -> 92.2 Mrays/s).
+POOL_FLOOR = 57600
 
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
@@ -151,7 +155,18 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
                 f"multiple of spp (n={n}, spp={spp})")
         pool = n // pool_div
     else:
+        # Auto policy (v5e sweep, 1280x720 spp64 headline): 86.2 Mrays/s at
+        # pool=n, 92.4 at n/2, 94.4 at n/4, 104.1 at n/8, 106.9 at n/16
+        # (pool 57.6k), 92.2 at n/32 — occupancy keeps improving with item
+        # list length until per-pass fixed costs dominate below ~50k lanes.
+        # Pick the largest power-of-2 divisor keeping pool >= POOL_FLOOR.
         pool = n
+        if matmul_acc:
+            d = 1
+            while (n % (2 * d) == 0 and (n // (2 * d)) % spp == 0
+                   and n // (2 * d) >= POOL_FLOOR):
+                d *= 2
+            pool = n // d
     items_per = (n * spp) // pool if matmul_acc else spp
     lanes = jnp.arange(pool, dtype=jnp.uint32)
     groups = pool // spp if matmul_acc else 0
