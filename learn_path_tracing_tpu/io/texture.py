@@ -362,6 +362,15 @@ def pack_strips(atlas_np, info_low, info_high, texels: int,
     rect width — the wrap bakes the reference's repeat addressing into the
     table). Rect rows are laid out y-major: row index =
     ``base + y * spr + strip``.
+
+    Each table row carries BOTH texel rows of a bilinear tap: columns
+    ``[0, T*C)`` are texel row ``y``, columns ``[T*C, 2*T*C)`` are texel row
+    ``(y+1) mod h`` (the v-wrap baked in). Storage doubles, but a full
+    bilinear tap becomes ONE random row gather — and XLA row gathers on this
+    hardware are row-count bound, not byte bound (~68 M rows/s at 460k rows
+    from a 287 MB table, scripts/profile_tap_variants.py: the 2-row variant
+    measured 6.8-7.5 ms per 230k taps, the texel-level 4-gather variant
+    14.7 ms, while widening rows is nearly free).
     """
     low = np.asarray(info_low)
     high = np.asarray(info_high)
@@ -377,7 +386,7 @@ def pack_strips(atlas_np, info_low, info_high, texels: int,
         base[i] = total
         spr[i] = -(-w // stride)
         total += h * int(spr[i])
-    table = np.zeros((max(total, 1), texels * c), np.float32)
+    table = np.zeros((max(total, 1), 2 * texels * c), np.float32)
     for i in range(k):
         x0, y0 = int(low[i, 0]), int(low[i, 1])
         w = int(high[i, 0] - x0)
@@ -389,7 +398,12 @@ def pack_strips(atlas_np, info_low, info_high, texels: int,
         # [s, texels, h, C] -> rows [h * s, texels * C] y-major
         block = rect[xs]                               # [s, texels, h, C]
         block = block.transpose(2, 0, 1, 3).reshape(h * s, texels * c)
-        table[base[i]:base[i] + h * s] = block
+        # pair each row with its v-wrapped successor row
+        succ = np.roll(np.arange(h), -1)               # y+1 mod h
+        block_t = block.reshape(h, s, texels * c)[succ].reshape(
+            h * s, texels * c)
+        table[base[i]:base[i] + h * s] = np.concatenate(
+            [block, block_t], axis=1)
     if dtype is None:
         dtype = jnp.float32
     return StripAtlas(table=jnp.asarray(table, dtype),
@@ -400,10 +414,11 @@ def pack_strips(atlas_np, info_low, info_high, texels: int,
 
 def sample_bilinear_strips(atlas: StripAtlas, tex_id, u, v, channels: int):
     """Bilinear tap over a strip-packed atlas — identical texels and weights
-    to ``sample_bilinear`` (same rect wrap-around), 2 row gathers instead
-    of 4. ``channels`` must be static (table width = T * channels)."""
+    to ``sample_bilinear`` (same rect wrap-around), ONE row gather instead
+    of 4 (rows carry both y and y+1, see pack_strips). ``channels`` must be
+    static (table width = 2 * T * channels)."""
     c = channels
-    texels = atlas.table.shape[1] // c
+    texels = atlas.table.shape[1] // (2 * c)
     stride = texels - 1
     low = jnp.take(atlas.info_low, tex_id, axis=0)
     high = jnp.take(atlas.info_high, tex_id, axis=0)
@@ -421,9 +436,9 @@ def sample_bilinear_strips(atlas: StripAtlas, tex_id, u, v, channels: int):
     sx = lm // stride
     off = lm - sx * stride
     by = jnp.mod(b, hpix)
-    ty = jnp.mod(b + 1, hpix)
-    row_b = jnp.take(atlas.table, base + by * spr + sx, axis=0)
-    row_t = jnp.take(atlas.table, base + ty * spr + sx, axis=0)
+    tc = texels * c
+    pair_row = jnp.take(atlas.table, base + by * spr + sx, axis=0)
+    row_b, row_t = pair_row[:, :tc], pair_row[:, tc:]
     row = (wb * row_b.astype(jnp.float32)
            + (1.0 - wb) * row_t.astype(jnp.float32))   # [N, T*C]
     # texel pair (off, off+1) via a one-hot sum of static slices

@@ -438,8 +438,11 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
         src_best = jnp.where(better, 0, src_best)
 
     use_packet = on_accel
-    # coherence sort measured net-positive end-to-end (4.57 vs 3.44 Mrays/s
-    # on Yoimiya without it); packet_traverse skips it below 1 block anyway
+    # Coherence sort stays ON: on synthetic scanline-ordered rays the sort
+    # costs more than it saves (10.7 vs 4.3 ms primary, profile_legacy2.py),
+    # but in the real persistent pool drain compaction scrambles lane order
+    # and the end-to-end ablation is decisive: 6.79 Mrays/s sorted vs 4.65
+    # unsorted on the yoimiya bench (2026-08-17, Morton key + auto pool).
     sort_rays = True
     for k, mesh in enumerate(world.meshes):
         # seed best-t with prior structures' results: later BVHs prune
