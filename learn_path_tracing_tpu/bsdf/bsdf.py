@@ -92,12 +92,27 @@ def scatter_legacy(rays: Rays, hits: Hits, base) -> Rays:
     mat = hits.material
 
     u_metal = rng.uniform(base, 0)
-    u1, u2, u3 = rng.uniform3(base, 1)   # in-ball jitter (shared by branches)
+    u1, u2, u3 = rng.uniform3(base, 1)   # sphere point + ball radius
     u_fresnel = rng.uniform(base, 4)
-    u5, u6 = rng.uniform2(base, 5)       # diffuse bounce
+
+    # One uniform-on-sphere point serves every branch: the in-ball jitter
+    # direction (reflect/refract roughening) and the Lambertian offset.
+    # Per lane exactly ONE outgoing direction is consumed (metal-reflect,
+    # diel-specular-reflect, diel-refract, or diel-diffuse are mutually
+    # exclusive), and branch selection uses independent uniforms
+    # (u_metal/u_fresnel), so each consumed sample is still an independent
+    # uniform sphere draw — the distribution is unchanged while the pass
+    # saves a second sin/cos pair (~0.6 ms per 230k lanes,
+    # scripts/profile_bsdf.py).
+    s_sphere = sp.sample_at_sphere(u1, u2)
+    ball = s_sphere * jnp.cbrt(u3)[..., None]
+
+    def _roughen(direction):
+        return sp.normalize(direction + mat.roughness[..., None] * ball,
+                            eps=1e-12)
 
     cos_theta = jnp.maximum(jnp.sum(nrm * (-d), axis=-1), 0.0)
-    rd_reflect = sp.roughen(sp.reflect(d, nrm), mat.roughness, u1, u2, u3)
+    rd_reflect = _roughen(sp.reflect(d, nrm))
 
     # metal branch
     f_metal = sp.schlick(cos_theta[..., None], mat.albedo)
@@ -106,9 +121,8 @@ def scatter_legacy(rays: Rays, hits: Hits, base) -> Rays:
     # dielectric branch
     f0 = ((mat.ior - 1.0) / (mat.ior + 1.0)) ** 2
     f_diel = sp.schlick(cos_theta, f0)
-    rd_refract = sp.roughen(sp.refract_legacy(d, nrm, mat.ior),
-                            mat.roughness, u1, u2, u3)
-    rd_diffuse = sp.sample_lambertian(nrm, u5, u6)
+    rd_refract = _roughen(sp.refract_legacy(d, nrm, mat.ior))
+    rd_diffuse = sp.normalize(nrm + s_sphere, eps=1e-12)
     attenuation = mat.albedo * (1.0 - mat.absorptivity)[..., None]
     transmit = u_fresnel > f_diel
     is_transparent = mat.transparency > 0.0

@@ -112,9 +112,16 @@ def refract(d, n, ior):
 
 
 def schlick(cos_theta, f0):
-    """Schlick fresnel approximation: F0 + (1-F0)(1-cosθ)⁵."""
+    """Schlick fresnel approximation: F0 + (1-F0)(1-cosθ)⁵.
+
+    The fifth power is spelled as explicit squaring: XLA:TPU lowers
+    ``x ** 5`` through the generic pow path (exp/log), measured ~40%
+    slower than three multiplies at wavefront width
+    (scripts/profile_bsdf.py: 1.42 vs 1.02 ms per 230k lanes)."""
     c = jnp.maximum(cos_theta, 0.0)
-    return f0 + (1.0 - f0) * (1.0 - c) ** 5
+    m = 1.0 - c
+    m2 = m * m
+    return f0 + (1.0 - f0) * (m2 * m2 * m)
 
 
 def refract_legacy(d, n, ior):
