@@ -264,12 +264,67 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
     iters_ref[0, :] = jnp.full((b,), it_final, jnp.int32)
 
 
-def _coherence_key(nodes, ro, rd):
+def _treelet_entry_key(nodes, entries, ro, rd):
+    """Sort key = the two nearest depth-2 subtrees ("treelets") each ray
+    actually ENTERS, found by dense slab tests against the <=64 grandchild
+    AABBs of the root — no gathers, pure [N,64] VPU math.
+
+    The Morton-origin key below is a *proxy* for traversal overlap; this
+    key measures it directly: the packet kernel's node union is exactly
+    the set of subtrees some live lane enters, and ordered traversal +
+    t-capping means the first one or two entered treelets dominate each
+    ray's walk. Rays sharing (nearest, second-nearest) treelet walk nearly
+    identical unions regardless of where their origins sit."""
+    m = nodes.shape[0]
+    ent0 = entries[0, 0:WIDTH]                                   # [8]
+    crows = jnp.take(nodes, jnp.clip(ent0, 0, m - 1), axis=0)    # [8,128]
+    # grandchild boxes, component-major per row -> [8,8,3]
+    glo = jnp.stack([crows[:, d * 8:(d + 1) * 8] for d in range(3)], -1)
+    ghi = jnp.stack([crows[:, (3 + d) * 8:(4 + d) * 8] for d in range(3)], -1)
+    # root-child own boxes (used where the root child is a leaf run: its
+    # "treelet" is itself; empty slots keep inf/-inf never-hit boxes)
+    rlo = jnp.stack([nodes[0, d * 8:(d + 1) * 8] for d in range(3)], -1)
+    rhi = jnp.stack([nodes[0, (3 + d) * 8:(4 + d) * 8] for d in range(3)], -1)
+    is_node = (ent0 >= 0)[:, None]                               # [8,1]
+    self_slot = (jnp.arange(WIDTH) == 0)[None, :]                # [1,8]
+    lo = jnp.where(is_node[..., None], glo,
+                   jnp.where(self_slot[..., None], rlo[:, None, :], jnp.inf))
+    hi = jnp.where(is_node[..., None], ghi,
+                   jnp.where(self_slot[..., None], rhi[:, None, :], -jnp.inf))
+    lo = lo.reshape(WIDTH * WIDTH, 3)                            # [64,3]
+    hi = hi.reshape(WIDTH * WIDTH, 3)
+
+    inv = 1.0 / rd                                               # [N,3]
+    ta = (lo[None, :, :] - ro[:, None, :]) * inv[:, None, :]     # [N,64,3]
+    tb = (hi[None, :, :] - ro[:, None, :]) * inv[:, None, :]
+    t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)                   # [N,64]
+    t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    entered = (t1 > t0) & (t1 > 0.0)
+    tmin = jnp.where(entered, jnp.maximum(t0, 0.0), jnp.inf)
+    m1 = jnp.argmin(tmin, axis=1).astype(jnp.int32)              # [N]
+    t_m1 = jnp.min(tmin, axis=1)
+    tmin2 = jnp.where(jnp.arange(WIDTH * WIDTH)[None, :] == m1[:, None],
+                      jnp.inf, tmin)
+    m2 = jnp.argmin(tmin2, axis=1).astype(jnp.int32)
+    m2 = jnp.where(jnp.isfinite(jnp.min(tmin2, axis=1)), m2,
+                   jnp.int32(WIDTH * WIDTH))                     # 64 = none
+    key = m1 * (WIDTH * WIDTH + 1) + m2
+    # rays that enter no treelet at all cluster at the very end
+    return jnp.where(jnp.isfinite(t_m1), key,
+                     jnp.int32((WIDTH * WIDTH + 1) ** 2))
+
+
+def _coherence_key(nodes, entries, ro, rd, kind: str = "treelet"):
     """Sort key grouping rays by origin cell over the root AABB and
     direction octant, so packet blocks traverse small node unions. Bounce
     wavefronts are incoherent in lane order; unsorted, every 512-lane block
     walks ~the whole tree (~300 ms/pass measured on the 23k-tri Yoimiya
     mesh at 640x360) while the argsort + state gathers cost ~10 ms.
+
+    ``kind='treelet'`` (default) prepends the measured treelet-entry pair
+    (_treelet_entry_key) as the major key, with the Morton-origin/octant
+    code breaking ties within a treelet group. ``kind='morton'`` is the
+    round-1 key, kept for ablation.
 
     Key layout (ablated on Yoimiya, BASELINE.md): origin locality dominates
     direction (cell-major 4.57 Mrays/s vs octant-major 3.99 vs unsorted
@@ -296,10 +351,14 @@ def _coherence_key(nodes, ro, rd):
         return v
 
     cell = (_spread(q[:, 0]) << 2) | (_spread(q[:, 1]) << 1) | _spread(q[:, 2])
-    return cell * 8 + octant
+    morton = cell * 8 + octant                    # 18 bits
+    if kind == "morton":
+        return morton
+    # treelet-major (13 bits) + morton tie-break (18 bits) = 31 bits, fits i32
+    return _treelet_entry_key(nodes, entries, ro, rd) * (1 << 18) + morton
 
 
-def _coherence_order(nodes, ro, rd):
+def _coherence_order(nodes, entries, ro, rd, kind: str = "treelet"):
     """(order, inv) permutations for coherence sorting.
 
     Global argsort both ways. A chunked variant (C independent row-sorts)
@@ -307,23 +366,25 @@ def _coherence_order(nodes, ro, rd):
     (4.8 ms at 1.84M keys, scripts/profile_sortcost.py) while chunking to
     ~9k-lane windows destroyed the packet-coherence benefit entirely
     (secondary traversal regressed 18 ms → 28 ms, the unsorted cost)."""
-    key = _coherence_key(nodes, ro, rd)
+    key = _coherence_key(nodes, entries, ro, rd, kind)
     order = jnp.argsort(key)
     return order, jnp.argsort(order)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",
-                                             "with_stats"))
+                                             "with_stats", "sort_key"))
 def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
                     eps: float = 1e-4, interpret: bool = False,
-                    sort_rays: bool = True, with_stats: bool = False):
+                    sort_rays: bool = True, with_stats: bool = False,
+                    sort_key: str = "treelet"):
     """Nearest-hit packet traversal.
 
     Args: packed tables from ``pack_packet_tables``; ``ro/rd f32[N,3]``;
     ``t_init f32[N]`` seeds per-lane best-t (cross-structure pruning);
     ``active bool[N]`` masks lanes out of the union entirely.
     ``sort_rays`` groups lanes into coherent packets first (results are
-    exact either way; only the block unions change).
+    exact either way; only the block unions change); ``sort_key`` picks the
+    grouping key ('treelet' | 'morton', see _coherence_key).
     Returns ``(t f32[N] — t_init where unbeaten, prim i32[N] — -1)``.
     """
     n = ro.shape[0]
@@ -342,7 +403,7 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
         axis=1)                                              # [N, 8]
     inv = None
     if sort_rays and n > RAY_BLOCK:
-        order, inv = _coherence_order(nodes, ro, rd)
+        order, inv = _coherence_order(nodes, entries, ro, rd, sort_key)
         packed = jnp.take(packed, order, axis=0)
 
     if with_stats and inv is not None:

@@ -78,7 +78,7 @@ def main():
 
     @jax.jit
     def argsort_key(ro, rd):
-        order, inv = _coherence_order(nodes, ro, rd)
+        order, inv = _coherence_order(nodes, entries, ro, rd)
         return inv
 
     t_inf = jnp.full((n,), jnp.inf, jnp.float32)

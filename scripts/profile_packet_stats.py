@@ -66,7 +66,7 @@ def main():
         pt.packet_traverse, sort_rays=False, with_stats=True))
 
     def presort(ro, rd, ti, al):
-        order, _ = pt._coherence_order(nodes, ro, rd)
+        order, _ = pt._coherence_order(nodes, entries, ro, rd)
         tk = lambda x: jnp.take(x, order, axis=0)
         return tk(ro), tk(rd), tk(ti), tk(al)
 

@@ -68,8 +68,8 @@ def main():
         return environment_color(envs, wd.env_id, rd, m).sum()
 
     @jax.jit
-    def argsort_only(nd, ro, rd):
-        return _coherence_order(nd, ro, rd)[1]
+    def argsort_only(nd, ent, ro, rd):
+        return _coherence_order(nd, ent, ro, rd)[1]
 
     @jax.jit
     def hit_full(wd, rays):
@@ -85,7 +85,7 @@ def main():
         ("attr_gather_random", attr_gather, (wd.tri_attr, rnd_idx)),
         ("atlas_tap", atlas_tap, (wd.atlas, u, v, tex)),
         ("env_tap", env_tap, (wd.envs, rays.rd)),
-        ("argsort_only", argsort_only, (nodes, rays.ro, rays.rd)),
+        ("argsort_only", argsort_only, (nodes, entries, rays.ro, rays.rd)),
         ("hit_legacy_full", hit_full, (wd, rays)),
     ]:
         dt, _ = time_fn(f, *fargs, iters=4)
