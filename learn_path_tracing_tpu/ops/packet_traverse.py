@@ -44,7 +44,7 @@ from ..accel.wide import WIDTH, WideBVH, decode_leaf, _PAD, _SORT8 as _SORT8_PAI
 
 import os
 
-RAY_BLOCK = int(os.environ.get("LPT_PACKET_BLOCK", "2048"))
+RAY_BLOCK = int(os.environ.get("LPT_PACKET_BLOCK", "1024"))  # 1024 measured best on Yoimiya end-to-end (8.42 vs 8.06 Mrays/s at 2048): smaller packets walk smaller node unions; 512 and 4096 hang the Mosaic compiler
 SLOT_F = 12            # floats per triangle slot (n, d, g1, c1, g2, c2)
 SLOTS = 8              # triangle slots per run row
 _PRIM_COL = SLOT_F * SLOTS  # cols 96..103: original prim index per slot (f32)
