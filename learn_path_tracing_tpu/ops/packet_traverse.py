@@ -365,10 +365,40 @@ def _coherence_order(nodes, entries, ro, rd, kind: str = "treelet"):
     was tried and reverted: the argsort is cheap even at pool widths
     (4.8 ms at 1.84M keys, scripts/profile_sortcost.py) while chunking to
     ~9k-lane windows destroyed the packet-coherence benefit entirely
-    (secondary traversal regressed 18 ms → 28 ms, the unsorted cost)."""
+    (secondary traversal regressed 18 ms → 28 ms, the unsorted cost).
+
+    Kept for profiling/ablation; the hot path in ``packet_traverse`` now
+    moves payload *through* ``lax.sort`` instead of materializing these
+    permutations (see _sort_fwd below — gathers are the expensive part)."""
     key = _coherence_key(nodes, entries, ro, rd, kind)
     order = jnp.argsort(key)
     return order, jnp.argsort(order)
+
+
+def _sort_fwd(nodes, entries, packed, ro, rd, kind: str):
+    """Coherence-sort ``packed [N,8]`` by carrying it through lax.sort.
+
+    Measured on v5e (scripts/profile_sortpath.py, 230k lanes): element
+    takes run ~56 M/s and even an [N,8] row take ~140 M rows/s, while a
+    9-operand lax.sort is 0.94 ms — payload-through-sort beats
+    argsort + gather ~4x for this shape. Returns the sorted rows plus the
+    original lane index per slot (the inverse rides a second sort keyed on
+    that index — no inverse permutation or gather is ever built)."""
+    n = packed.shape[0]
+    key = _coherence_key(nodes, entries, ro, rd, kind)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ops = jax.lax.sort(
+        (key,) + tuple(packed[:, j] for j in range(packed.shape[1])) + (idx,),
+        num_keys=1)
+    return jnp.stack(ops[1:-1], axis=1), ops[-1]
+
+
+def _sort_inv(order_idx, t, prim):
+    """Restore lane order of (t, prim): sort by the carried original index
+    (a permutation, so the result is exact). ~1.9 ms vs 5.0 ms for the two
+    element takes it replaces (profile_sortpath.py)."""
+    _, t_out, p_out = jax.lax.sort((order_idx, t, prim), num_keys=1)
+    return t_out, p_out
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",
@@ -401,14 +431,14 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     packed = jnp.concatenate(
         [ro, rd, t_enc[:, None], active.astype(jnp.float32)[:, None]],
         axis=1)                                              # [N, 8]
-    inv = None
+    order_idx = None
     if sort_rays and n > RAY_BLOCK:
-        order, inv = _coherence_order(nodes, entries, ro, rd, sort_key)
-        packed = jnp.take(packed, order, axis=0)
+        packed, order_idx = _sort_fwd(nodes, entries, packed, ro, rd,
+                                      sort_key)
 
-    if with_stats and inv is not None:
+    if with_stats and order_idx is not None:
         # an assert would vanish under `python -O` and the stats path would
-        # silently return t/prim in sorted order without applying inv
+        # silently return t/prim in sorted order without unsorting
         raise ValueError(
             "with_stats requires sort_rays=False to keep block identity")
 
@@ -459,9 +489,8 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     if with_stats:
         t_out = jnp.where(active, t[0, :n], t_init)
         return t_out, prim[0, :n], iters[0, ::RAY_BLOCK]
-    if inv is not None:
-        t_out = jnp.take(t[0, :n], inv, axis=0)
-        p_out = jnp.take(prim[0, :n], inv, axis=0)
+    if order_idx is not None:
+        t_out, p_out = _sort_inv(order_idx, t[0, :n], prim[0, :n])
     else:
         t_out, p_out = t[0, :n], prim[0, :n]
     # restore inactive lanes' original t (they carried -inf in-kernel)
