@@ -94,6 +94,7 @@ def scatter_legacy(rays: Rays, hits: Hits, base) -> Rays:
     u_metal = rng.uniform(base, 0)
     u1, u2, u3 = rng.uniform3(base, 1)   # sphere point + ball radius
     u_fresnel = rng.uniform(base, 4)
+    u4, u5 = rng.uniform2(base, 5)       # ball radius, cont.
 
     # One uniform-on-sphere point serves every branch: the in-ball jitter
     # direction (reflect/refract roughening) and the Lambertian offset.
@@ -103,9 +104,11 @@ def scatter_legacy(rays: Rays, hits: Hits, base) -> Rays:
     # (u_metal/u_fresnel), so each consumed sample is still an independent
     # uniform sphere draw — the distribution is unchanged while the pass
     # saves a second sin/cos pair (~0.6 ms per 230k lanes,
-    # scripts/profile_bsdf.py).
+    # scripts/profile_bsdf.py). The in-ball radius is max(u3,u4,u5) — the
+    # exact cbrt(U) law without jnp.cbrt's multi-ms TPU lowering
+    # (sampling.ball_radius).
     s_sphere = sp.sample_at_sphere(u1, u2)
-    ball = s_sphere * jnp.cbrt(u3)[..., None]
+    ball = s_sphere * sp.ball_radius(u3, u4, u5)[..., None]
 
     def _roughen(direction):
         return sp.normalize(direction + mat.roughness[..., None] * ball,

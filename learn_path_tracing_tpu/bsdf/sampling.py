@@ -35,6 +35,14 @@ def sample_at_sphere(u1, u2):
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), z], axis=-1)
 
 
+def ball_radius(u1, u2, u3):
+    """Radius of a uniform in-ball point from three uniforms: ``max(u1,u2,u3)``
+    has CDF r³ — exactly the cbrt(U) distribution — while ``jnp.cbrt``
+    measured 0.9–3.6 ms per 57.6k lanes on TPU (XLA lowers it through the
+    generic pow/exp-log path) and extra counter-RNG uniforms are ~free."""
+    return jnp.maximum(u1, jnp.maximum(u2, u3))
+
+
 def sample_in_sphere(u1, u2, u3):
     """Uniform point inside the unit ball (legacy roughness perturbation,
     15_module.py:295-306 semantics: direction uniform, radius ∝ cbrt(u))."""

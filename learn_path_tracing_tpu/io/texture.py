@@ -352,6 +352,10 @@ class StripAtlas:
     info_high: jnp.ndarray  # i32[K, 2]
     base: jnp.ndarray       # i32[K] first table row of each rect
     spr: jnp.ndarray        # i32[K] strips per texel row of each rect
+    # packed per-texture row (w, h, base, spr) — the sampler reads this with
+    # ONE row gather instead of four element takes (element takes measured
+    # ~2.5x slower than row takes at wavefront width, profile_sortpath.py)
+    info: jnp.ndarray       # i32[K, 4]
 
 
 def pack_strips(atlas_np, info_low, info_high, texels: int,
@@ -406,10 +410,25 @@ def pack_strips(atlas_np, info_low, info_high, texels: int,
             [block, block_t], axis=1)
     if dtype is None:
         dtype = jnp.float32
+    info = np.stack([high[:, 0] - low[:, 0], high[:, 1] - low[:, 1],
+                     base, spr], axis=1).astype(np.int32)
     return StripAtlas(table=jnp.asarray(table, dtype),
                       info_low=jnp.asarray(low.astype(np.int32)),
                       info_high=jnp.asarray(high.astype(np.int32)),
-                      base=jnp.asarray(base), spr=jnp.asarray(spr))
+                      base=jnp.asarray(base), spr=jnp.asarray(spr),
+                      info=jnp.asarray(info))
+
+
+def _imod_f32(a, m):
+    """``mod(a, m)`` for i32 values via f32 arithmetic (exact while
+    |a|, m < 2^23 — texture coords are bounded by rect sizes times the UV
+    wrap count, orders of magnitude below that). Dynamic-divisor integer
+    division has no VPU hardware path and lowers to a long multi-op
+    sequence; f32 divide + floor is a handful of ops."""
+    af = a.astype(jnp.float32)
+    mf = jnp.maximum(m.astype(jnp.float32), 1.0)  # degenerate rect guard
+    q = jnp.floor(af / mf)
+    return (af - q * mf).astype(jnp.int32)
 
 
 def sample_bilinear_strips(atlas: StripAtlas, tex_id, u, v, channels: int):
@@ -420,22 +439,18 @@ def sample_bilinear_strips(atlas: StripAtlas, tex_id, u, v, channels: int):
     c = channels
     texels = atlas.table.shape[1] // (2 * c)
     stride = texels - 1
-    low = jnp.take(atlas.info_low, tex_id, axis=0)
-    high = jnp.take(atlas.info_high, tex_id, axis=0)
-    base = jnp.take(atlas.base, tex_id, axis=0)
-    spr = jnp.take(atlas.spr, tex_id, axis=0)
-    wpix = high[:, 0] - low[:, 0]
-    hpix = high[:, 1] - low[:, 1]
+    info = jnp.take(atlas.info, tex_id, axis=0)        # one row gather
+    wpix, hpix, base, spr = (info[:, 0], info[:, 1], info[:, 2], info[:, 3])
     uu = u * wpix.astype(jnp.float32) - 0.5
     vv = v * hpix.astype(jnp.float32) - 0.5
     l = uu.astype(jnp.int32)   # trunc-toward-zero, as ti.cast does
     b = vv.astype(jnp.int32)
     wl = ((l + 1).astype(jnp.float32) - uu)[:, None]
     wb = ((b + 1).astype(jnp.float32) - vv)[:, None]
-    lm = jnp.mod(l, wpix)
+    lm = _imod_f32(l, wpix)
     sx = lm // stride
     off = lm - sx * stride
-    by = jnp.mod(b, hpix)
+    by = _imod_f32(b, hpix)
     tc = texels * c
     pair_row = jnp.take(atlas.table, base + by * spr + sx, axis=0)
     row_b, row_t = pair_row[:, :tc], pair_row[:, tc:]

@@ -46,11 +46,8 @@ def main():
     res = (args.width, args.height)
     n = res[0] * res[1]
 
-    world = LegacyWorld()
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        wd = world.load("/root/reference/legacy/Yoimiya.world.npy",
-                        path_map=make_asset_path_map())
+    from worldcache import load_world
+    wd = load_world()
     cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))

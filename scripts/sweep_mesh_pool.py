@@ -38,11 +38,8 @@ def main():
     from learn_path_tracing_tpu.utils.benchlib import time_fn
 
     res = (args.width, args.height)
-    world = LegacyWorld()
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        wd = world.load("/root/reference/legacy/Yoimiya.world.npy",
-                        path_map=make_asset_path_map())
+    from worldcache import load_world
+    wd = load_world()
     cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))

@@ -1,0 +1,42 @@
+"""Pickle cache of built LegacyWorldData for the profiling scripts.
+
+The SAH + wide-collapse + packet-table build for the 23k-tri Yoimiya mesh
+takes minutes on this machine's single CPU core; profilers iterate on
+kernel/integrator code that does not touch the build, so they load a cached
+device-ready pytree instead. Keyed on the source file's mtime — NOT safe
+against builder-code changes, which is why bench.py and the library itself
+do not use it (delete /tmp/lpt_worldcache-* after touching accel/ or io/).
+"""
+
+import os
+import pickle
+import sys
+import warnings
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+YOIMIYA = "/root/reference/legacy/Yoimiya.world.npy"
+
+
+def load_world(path=YOIMIYA, cache=True):
+    import jax
+    import numpy as np
+
+    from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
+    from learn_path_tracing_tpu.stages.legacy_common import make_asset_path_map
+
+    tag = os.path.basename(path).replace("/", "_")
+    cpath = f"/tmp/lpt_worldcache-{tag}-{int(os.path.getmtime(path))}.pkl"
+    if cache and os.path.exists(cpath):
+        with open(cpath, "rb") as f:
+            wd = pickle.load(f)
+        return jax.tree.map(jax.device_put, wd)
+    world = LegacyWorld()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        wd = world.load(path, path_map=make_asset_path_map())
+    if cache:
+        host = jax.tree.map(np.asarray, wd)
+        with open(cpath, "wb") as f:
+            pickle.dump(host, f)
+    return wd
