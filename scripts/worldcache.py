@@ -25,8 +25,18 @@ def load_world(path=YOIMIYA, cache=True):
     from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
     from learn_path_tracing_tpu.stages.legacy_common import make_asset_path_map
 
+    import subprocess
+
     tag = os.path.basename(path).replace("/", "_")
-    cpath = f"/tmp/lpt_worldcache-{tag}-{int(os.path.getmtime(path))}.pkl"
+    try:
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip() or "x"
+    except Exception:
+        rev = "x"
+    cpath = (f"/tmp/lpt_worldcache-{tag}-{int(os.path.getmtime(path))}"
+             f"-{rev}.pkl")
     if cache and os.path.exists(cpath):
         with open(cpath, "rb") as f:
             wd = pickle.load(f)
