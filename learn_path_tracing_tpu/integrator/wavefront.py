@@ -50,7 +50,8 @@ def _scene_fns(scene: str):
 
         return (lambda w, r, hb: hit_legacy(w, r),
                 lambda w, rd, mask=None: environment_color(
-                    w.envs, w.env_id, rd, mask=mask))
+                    w.envs, w.env_id, rd, mask=mask,
+                    gradient_h=getattr(w, "env_gradient_h", None)))
     raise ValueError(f"unknown scene kind: {scene!r}")
 
 

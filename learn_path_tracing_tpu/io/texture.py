@@ -189,10 +189,18 @@ def build_texture_atlas(configs, atlas_size, path_map=None) -> np.ndarray:
     return atlas
 
 
-def build_environment_atlas(configs, atlas_size, path_map=None) -> np.ndarray:
-    """Fill an equirect environment atlas ``f32[W, H, 3]`` (linear HDR)."""
+def build_environment_atlas(configs, atlas_size, path_map=None):
+    """Fill an equirect environment atlas ``f32[W, H, 3]`` (linear HDR).
+
+    Returns ``(atlas, gradient_ids)`` where ``gradient_ids`` is the set of
+    config ids whose source file was missing/undecodable and therefore hold
+    the procedural sky gradient — callers can route those through the
+    analytic gradient evaluation instead of atlas taps (environment_color's
+    ``gradient_h`` fast path; the tap costs ~4 ms per 230k-lane pass in row
+    gathers for what is a 6-op closed form)."""
     w, h = atlas_size
     atlas = np.zeros((w, h, 3), np.float32)
+    gradient_ids = set()
     for cfg in configs:
         low = _area_field(cfg["area"], "low")
         high = _area_field(cfg["area"], "high")
@@ -222,6 +230,7 @@ def build_environment_atlas(configs, atlas_size, path_map=None) -> np.ndarray:
                                  np.float32) / 255.0
         if env is None:
             warnings.warn(f"environment missing, using sky gradient: {path}")
+            gradient_ids.add(int(cfg["id"]))
             # vertical white→blue gradient like the modern stages
             v = np.linspace(0.0, 1.0, size[1], dtype=np.float32)
             top = np.array([0.5, 0.7, 1.0], np.float32)
@@ -241,7 +250,7 @@ def build_environment_atlas(configs, atlas_size, path_map=None) -> np.ndarray:
                 env = env[ys][:, xs]
             env_uv = np.flip(env.transpose(1, 0, 2)[..., :3], 1)
         atlas[low[0]:high[0], low[1]:high[1]] = env_uv
-    return atlas
+    return atlas, frozenset(gradient_ids)
 
 
 # ---------------------------------------------------------- device sampler --

@@ -71,7 +71,7 @@ class SphereDeviceData:
     bvh: FlatBVH
 
 
-@pytree_dataclass
+@pytree_dataclass(meta_fields=("env_gradient_h",))
 class LegacyWorldData:
     meshes: tuple            # tuple[MeshDeviceData, ...]
     spheres: SphereDeviceData | None
@@ -84,6 +84,12 @@ class LegacyWorldData:
     # of the legacy hit path). Columns: v0 v1 v2 (9), n0 n1 n2 (9),
     # uv0 uv1 uv2 (6), tex (1, f32-encoded id), pad → 32.
     tri_attr: jnp.ndarray | None = None   # f32[sum(T_k), 32]
+    # Static (pytree-aux): when the ACTIVE environment's source file was
+    # missing, its atlas rect holds the procedural sky gradient — this is
+    # its baked rect height, letting environment_color evaluate the tap
+    # analytically (closed form in rd, zero gathers) instead of via two
+    # row gathers per lane. None = a real environment image is loaded.
+    env_gradient_h: int | None = None
 
 
 def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
@@ -149,6 +155,22 @@ def _default_environment(tm: TextureManager):
         }]
 
 
+def _active_gradient_h(tm: TextureManager, environment, gradient_ids):
+    """Rect height of the ACTIVE environment iff it holds the baked sky
+    gradient (see build_environment_atlas), else None."""
+    active = int(environment or 0)
+    if active not in gradient_ids:
+        return None
+    for cfg in tm.configs:
+        if int(cfg["id"]) == active:
+            from ..io.texture import _area_field
+
+            low = _area_field(cfg["area"], "low")
+            high = _area_field(cfg["area"], "high")
+            return int(high[1]) - int(low[1])
+    return None
+
+
 def _bvh_from_record(rec) -> FlatBVH:
     cut = np.asarray(rec["cut"], np.int32)
     sizes = cut[1:] - cut[:-1]
@@ -204,9 +226,9 @@ class LegacyWorld:
         atlas_np = build_texture_atlas(self.textures.configs,
                                        _content_size(self.textures.configs),
                                        path_map=path_map)
-        env_np = build_environment_atlas(self.environments.configs,
-                                         _content_size(self.environments.configs),
-                                         path_map=path_map)
+        env_np, env_grad_ids = build_environment_atlas(
+            self.environments.configs,
+            _content_size(self.environments.configs), path_map=path_map)
 
         mesh_records = []
         mesh_devices = []
@@ -271,6 +293,8 @@ class LegacyWorld:
                               dtype=jnp.bfloat16),
             envs=pack_strips(env_np, env_low, env_high, texels=42),
             env_id=jnp.int32(self.environment or 0),
+            env_gradient_h=_active_gradient_h(self.environments,
+                                              self.environment, env_grad_ids),
             tri_attr=_tri_attr_table(tuple(mesh_devices)),
         )
         self._bvh_records = (mesh_records, sphere_record)
@@ -340,9 +364,9 @@ class LegacyWorld:
         atlas_np = build_texture_atlas(self.textures.configs,
                                        _content_size(self.textures.configs),
                                        path_map=path_map)
-        env_np = build_environment_atlas(self.environments.configs,
-                                         _content_size(self.environments.configs),
-                                         path_map=path_map)
+        env_np, env_grad_ids = build_environment_atlas(
+            self.environments.configs,
+            _content_size(self.environments.configs), path_map=path_map)
 
         mesh_devices = []
         for rec in data["meshes_bvhs"]:
@@ -388,6 +412,8 @@ class LegacyWorld:
                               dtype=jnp.bfloat16),
             envs=pack_strips(env_np, env_low, env_high, texels=42),
             env_id=jnp.int32(self.environment or 0),
+            env_gradient_h=_active_gradient_h(self.environments,
+                                              self.environment, env_grad_ids),
             tri_attr=_tri_attr_table(tuple(mesh_devices)),
         )
         return self._device
@@ -572,17 +598,41 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
                 material=mat)
 
 
-def environment_color(envs: StripAtlas, env_id, rd, mask=None):
+def environment_color(envs: StripAtlas, env_id, rd, mask=None,
+                      gradient_h: int | None = None):
     """Equirect IBL lookup (15_module.py:970-977).
 
     ``mask`` (bool[N], optional): lanes whose result is unused — their tap
     coordinates collapse to one texel so the latency-bound random gather
     only pays for lanes that actually escaped this pass.
+
+    ``gradient_h`` (static, from LegacyWorldData.env_gradient_h): when the
+    active environment is the baked sky-gradient fallback, evaluate the tap
+    in closed form — the rect is constant along u and linear in v, so the
+    bilinear tap reduces to the same two-texel v-blend computed directly
+    from ``rd`` (zero gathers; the tap path costs ~4 ms per 230k-lane pass).
     """
     phi = jnp.arcsin(jnp.clip(rd[:, 1], -1.0, 1.0))
+    v = phi / jnp.pi + 0.5
+    if gradient_h is not None:
+        h = int(gradient_h)
+        vv = v * jnp.float32(h) - 0.5
+        b = vv.astype(jnp.int32)                   # trunc, as the tap does
+        wb = (b + 1).astype(jnp.float32) - vv
+        bf = b.astype(jnp.float32)
+        by = bf - jnp.floor(bf / h) * h            # mod h (b ∈ [-1, h])
+        bt = jnp.where(by + 1 >= h, by + 1 - h, by + 1)  # v-wrap successor
+        top = jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
+        bottom = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+        denom = float(max(h - 1, 1))
+
+        def grad(y):
+            vy = (y / denom)[:, None]
+            return bottom[None] * (1.0 - vy) + top[None] * vy
+
+        return wb[:, None] * grad(by) + (1.0 - wb)[:, None] * grad(bt)
     theta = jnp.arctan2(-rd[:, 0], -rd[:, 2])
     u = (theta / jnp.pi + 1.0) / 2.0
-    v = phi / jnp.pi + 0.5
     if mask is not None:
         u = jnp.where(mask, u, 0.5)
         v = jnp.where(mask, v, 0.5)

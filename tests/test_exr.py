@@ -83,8 +83,9 @@ def test_environment_atlas_from_exr(tmp_path):
             "area": {"low": (0, 0), "high": (32, 16)}}]
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # any fallback warning = failure
-        atlas = build_environment_atlas(cfg, (32, 16))
+        atlas, grad_ids = build_environment_atlas(cfg, (32, 16))
     assert atlas.shape == (32, 16, 3)
+    assert not grad_ids  # the EXR decoded; nothing fell back
     np.testing.assert_allclose(atlas, np.broadcast_to(color, (32, 16, 3)))
 
 

@@ -382,6 +382,22 @@ def test_environment_color_mapping():
     assert np.isfinite(col).all()
 
 
+def test_gradient_env_analytic_matches_tap():
+    """A world whose environment file is missing bakes the sky gradient;
+    the analytic fast path (env_gradient_h) must reproduce the atlas tap."""
+    world = _built_world()
+    wd = world.device()
+    assert wd.env_gradient_h is not None  # _built_world has no real env
+    rs = np.random.RandomState(7)
+    rd = rs.normal(size=(4096, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    tapped = np.asarray(environment_color(wd.envs, wd.env_id, rd))
+    analytic = np.asarray(environment_color(
+        wd.envs, wd.env_id, rd, gradient_h=wd.env_gradient_h))
+    np.testing.assert_allclose(analytic, tapped, atol=2e-6)
+
+
 def test_scatter_legacy_properties():
     world = _built_world()
     wd = world.device()
