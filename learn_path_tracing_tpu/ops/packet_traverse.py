@@ -264,6 +264,178 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
     iters_ref[0, :] = jnp.full((b,), it_final, jnp.int32)
 
 
+def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
+               iters_ref, stack_ref, stack_t_ref, cnt_ref, cap_ref, *, eps,
+               max_iters, cap):
+    """Inline-leaf ordered packet traversal (v2).
+
+    Telemetry on the v1 kernel (scripts/profile_packet_stats.py, Yoimiya
+    secondary wavefront) showed where the time actually goes: 56-59% of all
+    stack pops are LEAF pops, ~47% of node pops push <=1 child, the
+    per-pop cost is ~5x the [8,B] vector-math floor (the 16 vector->scalar
+    extracts + scalar sorting network dominate), and the t-cap stale-skip
+    NEVER fired (any miss lane pins the block cap at +inf). v2 restructures
+    accordingly:
+
+    - leaf children are processed INLINE at the parent's pop, nearest-first,
+      via a dynamic fori over an int-keyed removal loop — leaf runs never
+      touch the stack (the stack holds interior nodes only);
+    - child keys are made UNIQUE as ints ((f32 bits & ~7) | slot — keys are
+      >= 0 so the bitcast is order-preserving; the 3 dropped mantissa LSBs
+      only perturb ordering, never correctness), so "pop the nearest" is an
+      exact one-hot sum, no sorting required;
+    - node pushes take fast paths: 0 children = no scalar work at all,
+      1 child = two one-hot extracts; only >= 2 (a third of node pops) runs
+      the extract-all + sorting-network path;
+    - the winning-slot prim id in the leaf test is computed with [1,B]
+      vector selects against [1,1] row slices instead of 8 scalar reads;
+    - the stale-prune cap lives in SMEM and is refreshed every 4th pop
+      (a stale cap only costs missed skips, never wrong results).
+
+    Same hit semantics as _kernel (reference 15_module.py:756-779,909-953).
+    """
+    b = rays_ref.shape[1]
+    ro2 = [rays_ref[_RO + d:_RO + d + 1, :] for d in range(3)]   # [1,B]
+    rd2 = [rays_ref[_RD + d:_RD + d + 1, :] for d in range(3)]
+    inv2 = [1.0 / rd2[d] for d in range(3)]
+    t_ref[0, :] = rays_ref[_TINIT, :]
+    prim_ref[0, :] = jnp.full((b,), -1, jnp.int32)
+    stack_ref[0] = jnp.int32(0)   # root node
+    stack_t_ref[0] = jnp.float32(0.0)
+    cap_ref[0] = jnp.max(rays_ref[_TINIT, :])
+    imax = jnp.int32(np.int32(2**31 - 1))
+    slot8 = jax.lax.broadcasted_iota(jnp.int32, (WIDTH, 1), 0)
+
+    def _leaf_runs(run_row):
+        """Test one run row's 8 triangle slots against all lanes."""
+        row = runs_ref[pl.ds(run_row, 1), :]
+
+        def coef(k):
+            return row[0, k * WIDTH:(k + 1) * WIDTH].reshape(WIDTH, 1)
+
+        denom = (rd2[0] * coef(0) + rd2[1] * coef(1) + rd2[2] * coef(2))
+        ron = (ro2[0] * coef(0) + ro2[1] * coef(1) + ro2[2] * coef(2))
+        t = (coef(3) - ron) / denom
+        w1 = (ro2[0] * coef(4) + ro2[1] * coef(5) + ro2[2] * coef(6)
+              + t * (rd2[0] * coef(4) + rd2[1] * coef(5)
+                     + rd2[2] * coef(6)) + coef(7))
+        w2 = (ro2[0] * coef(8) + ro2[1] * coef(9) + ro2[2] * coef(10)
+              + t * (rd2[0] * coef(8) + rd2[1] * coef(9)
+                     + rd2[2] * coef(10)) + coef(11))
+        w3 = 1.0 - w1 - w2
+        t_b = t_ref[0, :]
+        ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
+              & (t < t_b[None, :]))                         # [8,B]
+        t_masked = jnp.where(ok, t, jnp.inf)
+        t_new = jnp.min(t_masked, axis=0)                   # [B]
+        improved = jnp.isfinite(t_new) & (t_new < t_b)
+        # winning slot -> prim id, all in vector land: [1,1] row slices
+        # broadcast against [1,B] selects (v1 did 8 scalar VMEM reads here)
+        pid = prim_ref[0:1, :].astype(jnp.float32)
+        for j in reversed(range(SLOTS)):  # earliest slot wins ties
+            won = improved[None, :] & (t_masked[j:j + 1, :] == t_new[None, :])
+            pid = jnp.where(won, row[0:1, _PRIM_COL + j:_PRIM_COL + j + 1],
+                            pid)
+        t_ref[0, :] = jnp.where(improved, t_new, t_b)
+        prim_ref[0, :] = pid[0, :].astype(jnp.int32)
+
+    def cond(carry):
+        sp, it = carry
+        return (sp >= 0) & (it < max_iters)
+
+    def body(carry):
+        sp, it = carry
+        code = stack_ref[sp]
+        t0_pop = stack_t_ref[sp]
+        cnt_ref[0] = jnp.int32(0)
+        live = t0_pop < cap_ref[0] + eps   # stale entries pop in O(1)
+
+        @pl.when(live)
+        def _node():
+            row = nodes_ref[pl.ds(code, 1), :]
+            t0 = jnp.full((WIDTH, b), -jnp.inf, jnp.float32)
+            t1 = jnp.full((WIDTH, b), jnp.inf, jnp.float32)
+            for d in range(3):
+                lo = row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
+                hi = row[0, (3 + d) * 8:(4 + d) * 8].reshape(WIDTH, 1)
+                ta = (lo - ro2[d]) * inv2[d]
+                tb = (hi - ro2[d]) * inv2[d]
+                t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+                t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+            t_best2 = t_ref[0:1, :]
+            lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
+                        & (t0 < t_best2 + eps))                # [8,B]
+            ent = entries_ref[pl.ds(code, 1), 0:WIDTH].reshape(WIDTH, 1)
+            tmin = jnp.min(jnp.where(lane_hit, jnp.maximum(t0, 0.0),
+                                     jnp.inf), axis=1, keepdims=True)
+            key = jnp.where(ent != _PAD, tmin, jnp.inf)        # [8,1]
+            # unique int-sortable keys: f32 bits (keys >= 0) | slot id
+            ikey = (jax.lax.bitcast_convert_type(key, jnp.int32)
+                    & jnp.int32(~7)) | slot8
+            finite = key < jnp.inf
+            is_leaf = ent < 0                                  # PAD -> ~finite
+
+            # ---- inline leaves, nearest-first (never touch the stack) ----
+            lkey = jnp.where(finite & is_leaf, ikey, imax)
+            n_leaf = jnp.sum((finite & is_leaf).astype(jnp.int32))
+
+            def lbody(_, lk):
+                lmin = jnp.min(lk)
+                sel = lk == lmin                               # one-hot
+                lcode = jnp.sum(jnp.where(sel, ent, 0))
+                _leaf_runs((-(lcode + 1)) // _ENC)
+                return jnp.where(sel, imax, lk)
+
+            lax.fori_loop(0, n_leaf, lbody, lkey)
+
+            # ---- node children: 0/1 fast paths, sort only when >= 2 ----
+            nmask = finite & ~is_leaf
+            nkey = jnp.where(nmask, ikey, imax)
+            n_node = jnp.sum(nmask.astype(jnp.int32))
+            cnt_ref[0] = n_node
+
+            @pl.when(n_node == 1)
+            def _push1():
+                sel = nkey == jnp.min(nkey)
+                stack_ref[sp] = jnp.sum(jnp.where(sel, ent, 0))
+                stack_t_ref[sp] = jnp.sum(jnp.where(sel & finite,
+                                                    jnp.maximum(tmin, 0.0),
+                                                    0.0))
+
+            @pl.when(n_node >= 2)
+            def _pushn():
+                keyn = jnp.where(nmask, jnp.maximum(tmin, 0.0), jnp.inf)
+                keyv = [keyn[c, 0] for c in range(WIDTH)]
+                entv = [ent[c, 0] for c in range(WIDTH)]
+                for a_, b_ in _SORT8_PAIRS:
+                    swap = keyv[a_] > keyv[b_]
+                    ka = jnp.where(swap, keyv[b_], keyv[a_])
+                    kb = jnp.where(swap, keyv[a_], keyv[b_])
+                    va = jnp.where(swap, entv[b_], entv[a_])
+                    vb = jnp.where(swap, entv[a_], entv[b_])
+                    keyv[a_], keyv[b_] = ka, kb
+                    entv[a_], entv[b_] = va, vb
+                for c in range(WIDTH):
+                    valid = jnp.isfinite(keyv[c])
+                    pos = jnp.where(valid, sp + n_node - 1 - c, cap - 1)
+                    stack_ref[pos] = jnp.where(valid, entv[c],
+                                               stack_ref[cap - 1])
+                    stack_t_ref[pos] = jnp.where(valid, keyv[c],
+                                                 stack_t_ref[cap - 1])
+
+        # refresh the stale-prune cap every 4th pop: the [B]-lane max reduce
+        # is too expensive per leaf (v1 paid it 15k times per call for zero
+        # fired skips on mixed wavefronts); staleness only delays skips
+        @pl.when(live & ((it & 3) == 0))
+        def _cap():
+            cap_ref[0] = jnp.max(t_ref[0, :])
+
+        return sp - 1 + cnt_ref[0], it + 1
+
+    _, it_final = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    iters_ref[0, :] = jnp.full((b,), it_final, jnp.int32)
+
+
 def _treelet_entry_key(nodes, entries, ro, rd):
     """Sort key = the two nearest depth-2 subtrees ("treelets") each ray
     actually ENTERS, found by dense slab tests against the <=64 grandchild
@@ -402,11 +574,12 @@ def _sort_inv(order_idx, t, prim):
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",
-                                             "with_stats", "sort_key"))
+                                             "with_stats", "sort_key",
+                                             "version"))
 def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
                     eps: float = 1e-4, interpret: bool = False,
                     sort_rays: bool = True, with_stats: bool = False,
-                    sort_key: str = "treelet"):
+                    sort_key: str = "treelet", version: int = 2):
     """Nearest-hit packet traversal.
 
     Args: packed tables from ``pack_packet_tables``; ``ro/rd f32[N,3]``;
@@ -453,8 +626,16 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     max_iters = 16 * m + 64  # hard termination backstop
 
     grid = (n_pad // RAY_BLOCK,)
+    kern = _kernel_v2 if version == 2 else _kernel
+    scratch = [
+        pltpu.SMEM((8 * 64 + 8,), jnp.int32),
+        pltpu.SMEM((8 * 64 + 8,), jnp.float32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+    if version == 2:
+        scratch.append(pltpu.SMEM((1,), jnp.float32))  # cap_ref
     t, prim, iters = pl.pallas_call(
-        functools.partial(_kernel, eps=eps, max_iters=max_iters, cap=cap),
+        functools.partial(kern, eps=eps, max_iters=max_iters, cap=cap),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nodes.shape[0], 128), lambda i: (0, 0),
@@ -479,11 +660,7 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.SMEM((8 * 64 + 8,), jnp.int32),
-            pltpu.SMEM((8 * 64 + 8,), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(nodes, entries, runs, rays)
     if with_stats:
