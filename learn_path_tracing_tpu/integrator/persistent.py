@@ -354,6 +354,7 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
 
     if stats:
         return acc_flat, segments, {
+            "pool": pool,   # actual full-width lane count (auto policy)
             "passes_full": passes_full,
             "drain_widths": tuple(levels),
             "drain_passes": tuple(drain_passes),

@@ -90,36 +90,43 @@ def pack_packet_tables(wbvh: WideBVH, v0, v1, v2):
                 continue
             start, count = decode_leaf(np.int32(e))
             start, count = int(start), int(count)
-            # run row is coefficient-major: coefficient k of slot j lives at
-            # col k*8 + j, so the kernel slices each coefficient as a static
-            # [8]-vector and the whole leaf phase vectorizes over slots.
-            row = np.zeros((128,), np.float32)
-            for j in range(count):
-                row[_PRIM_COL + j] = float(prim[start + j])
-                p1 = v0[prim[start + j]]
-                p2 = v1[prim[start + j]]
-                p3 = v2[prim[start + j]]
-                n = np.cross(p2 - p1, p3 - p1)
-                nn = np.sqrt(np.dot(n, n))
-                n = n / max(nn, 1e-20)
-                den1 = np.dot(np.cross(p3 - p2, p1 - p2), n)
-                den2 = np.dot(np.cross(p1 - p3, p2 - p3), n)
-                den1 = den1 if abs(den1) > 1e-20 else 1e-20
-                den2 = den2 if abs(den2) > 1e-20 else 1e-20
-                g1 = np.cross(n, p3 - p2) / den1
-                c1 = -np.dot(np.cross(p3 - p2, p2), n) / den1
-                g2 = np.cross(n, p1 - p3) / den2
-                c2 = -np.dot(np.cross(p1 - p3, p3), n) / den2
-                coefs = [n[0], n[1], n[2], np.dot(p1, n),
-                         g1[0], g1[1], g1[2], c1,
-                         g2[0], g2[1], g2[2], c2]
-                for k, val in enumerate(coefs):
-                    row[k * WIDTH + j] = val
-            # empty slots must never report a hit: denom 0/plane far away
-            for j in range(count, SLOTS):
-                row[3 * WIDTH + j] = np.inf  # d = inf → t = inf
+            if count > 2 * SLOTS:
+                raise ValueError(
+                    f"leaf run of {count} tris exceeds the kernels' 2-row "
+                    f"unroll (max_leaf <= {2 * SLOTS})")
+            # run rows are coefficient-major: coefficient k of slot j lives
+            # at col k*8 + j, so the kernel slices each coefficient as a
+            # static [8]-vector and the whole leaf phase vectorizes over
+            # slots. Runs over 8 tris spill into a SECOND consecutive row —
+            # fat leaves cost extra dense vector math but no extra pop.
             entries[i, c] = -(len(runs) * _ENC + count + 1)
-            runs.append(row)
+            for r0 in range(0, count, SLOTS):
+                row = np.zeros((128,), np.float32)
+                for j in range(min(SLOTS, count - r0)):
+                    row[_PRIM_COL + j] = float(prim[start + r0 + j])
+                    p1 = v0[prim[start + r0 + j]]
+                    p2 = v1[prim[start + r0 + j]]
+                    p3 = v2[prim[start + r0 + j]]
+                    n = np.cross(p2 - p1, p3 - p1)
+                    nn = np.sqrt(np.dot(n, n))
+                    n = n / max(nn, 1e-20)
+                    den1 = np.dot(np.cross(p3 - p2, p1 - p2), n)
+                    den2 = np.dot(np.cross(p1 - p3, p2 - p3), n)
+                    den1 = den1 if abs(den1) > 1e-20 else 1e-20
+                    den2 = den2 if abs(den2) > 1e-20 else 1e-20
+                    g1 = np.cross(n, p3 - p2) / den1
+                    c1 = -np.dot(np.cross(p3 - p2, p2), n) / den1
+                    g2 = np.cross(n, p1 - p3) / den2
+                    c2 = -np.dot(np.cross(p1 - p3, p3), n) / den2
+                    coefs = [n[0], n[1], n[2], np.dot(p1, n),
+                             g1[0], g1[1], g1[2], c1,
+                             g2[0], g2[1], g2[2], c2]
+                    for k, val in enumerate(coefs):
+                        row[k * WIDTH + j] = val
+                # empty slots must never report a hit: plane at infinity
+                for j in range(min(SLOTS, count - r0), SLOTS):
+                    row[3 * WIDTH + j] = np.inf  # d = inf → t = inf
+                runs.append(row)
     if not runs:
         runs.append(np.zeros((128,), np.float32))
     return (jnp.asarray(nodes), jnp.asarray(entries),
@@ -216,38 +223,49 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
         def _leaf():
             v = -(code + 1)
             run = v // _ENC
-            row = runs_ref[pl.ds(run, 1), :]
 
-            def coef(k):
-                return row[0, k * WIDTH:(k + 1) * WIDTH].reshape(WIDTH, 1)
+            def test_row(row_idx):
+                row = runs_ref[pl.ds(row_idx, 1), :]
 
-            # all 8 slots tested as [8,B] vector math (empty slots packed
-            # with d=+inf → t=+inf, never a hit)
-            denom = (rd2[0] * coef(0) + rd2[1] * coef(1) + rd2[2] * coef(2))
-            ron = (ro2[0] * coef(0) + ro2[1] * coef(1) + ro2[2] * coef(2))
-            t = (coef(3) - ron) / denom
-            w1 = (ro2[0] * coef(4) + ro2[1] * coef(5) + ro2[2] * coef(6)
-                  + t * (rd2[0] * coef(4) + rd2[1] * coef(5)
-                         + rd2[2] * coef(6)) + coef(7))
-            w2 = (ro2[0] * coef(8) + ro2[1] * coef(9) + ro2[2] * coef(10)
-                  + t * (rd2[0] * coef(8) + rd2[1] * coef(9)
-                         + rd2[2] * coef(10)) + coef(11))
-            w3 = 1.0 - w1 - w2
-            t_b = t_ref[0, :]
-            # inactive lanes have t_b = -inf → never ok, no mask needed
-            ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
-                  & (t < t_b[None, :]))                         # [8,B]
-            t_masked = jnp.where(ok, t, jnp.inf)
-            t_new = jnp.min(t_masked, axis=0)                   # [B]
-            improved = jnp.isfinite(t_new) & (t_new < t_b)
-            # winning slot → prim id: static unroll of 8 [B]-wide selects
-            pid = prim_ref[0, :]
-            for j in reversed(range(SLOTS)):  # earliest slot wins ties
-                won = improved & (t_masked[j, :] == t_new)
-                pid = jnp.where(won, row[0, _PRIM_COL + j].astype(jnp.int32),
-                                pid)
-            t_ref[0, :] = jnp.where(improved, t_new, t_b)
-            prim_ref[0, :] = pid
+                def coef(k):
+                    return row[0, k * WIDTH:(k + 1) * WIDTH].reshape(WIDTH, 1)
+
+                # all 8 slots tested as [8,B] vector math (empty slots
+                # packed with d=+inf → t=+inf, never a hit)
+                denom = (rd2[0] * coef(0) + rd2[1] * coef(1)
+                         + rd2[2] * coef(2))
+                ron = (ro2[0] * coef(0) + ro2[1] * coef(1)
+                       + ro2[2] * coef(2))
+                t = (coef(3) - ron) / denom
+                w1 = (ro2[0] * coef(4) + ro2[1] * coef(5) + ro2[2] * coef(6)
+                      + t * (rd2[0] * coef(4) + rd2[1] * coef(5)
+                             + rd2[2] * coef(6)) + coef(7))
+                w2 = (ro2[0] * coef(8) + ro2[1] * coef(9) + ro2[2] * coef(10)
+                      + t * (rd2[0] * coef(8) + rd2[1] * coef(9)
+                             + rd2[2] * coef(10)) + coef(11))
+                w3 = 1.0 - w1 - w2
+                t_b = t_ref[0, :]
+                # inactive lanes have t_b = -inf → never ok, no mask needed
+                ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
+                      & (t < t_b[None, :]))                     # [8,B]
+                t_masked = jnp.where(ok, t, jnp.inf)
+                t_new = jnp.min(t_masked, axis=0)               # [B]
+                improved = jnp.isfinite(t_new) & (t_new < t_b)
+                # winning slot → prim id: static unroll of 8 [B]-wide selects
+                pid = prim_ref[0, :]
+                for j in reversed(range(SLOTS)):  # earliest slot wins ties
+                    won = improved & (t_masked[j, :] == t_new)
+                    pid = jnp.where(won,
+                                    row[0, _PRIM_COL + j].astype(jnp.int32),
+                                    pid)
+                t_ref[0, :] = jnp.where(improved, t_new, t_b)
+                prim_ref[0, :] = pid
+
+            test_row(run)
+
+            @pl.when(v % _ENC > SLOTS)   # fat leaf: second spill row
+            def _row2():
+                test_row(run + 1)
 
         # tighten the stale-pop cap after leaves (where t_best improves);
         # inactive lanes sit at -inf and never raise the max
@@ -383,7 +401,14 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
                 lmin = jnp.min(lk)
                 sel = lk == lmin                               # one-hot
                 lcode = jnp.sum(jnp.where(sel, ent, 0))
-                _leaf_runs((-(lcode + 1)) // _ENC)
+                v = -(lcode + 1)
+                row0 = v // _ENC
+                _leaf_runs(row0)
+
+                @pl.when(v % _ENC > SLOTS)   # fat leaf: second spill row
+                def _row2():
+                    _leaf_runs(row0 + 1)
+
                 return jnp.where(sel, imax, lk)
 
             lax.fori_loop(0, n_leaf, lbody, lkey)

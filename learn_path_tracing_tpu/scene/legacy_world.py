@@ -218,7 +218,7 @@ class LegacyWorld:
 
     # ------------------------------------------------------------- build --
     def build(self, mesh_max_depth=24, sphere_max_depth=12, max_leaf=8,
-              path_map=None) -> LegacyWorldData:
+              mesh_max_leaf=8, path_map=None) -> LegacyWorldData:
         """Pack textures, build atlases and BVHs, upload device tables."""
         self.textures.build()
         _default_environment(self.environments)
@@ -236,8 +236,13 @@ class LegacyWorld:
             tri_p = mesh.positions[mesh.face_p]      # [T,3,3]
             plow = tri_p.min(axis=1)
             phigh = tri_p.max(axis=1)
+            # mesh_max_leaf > 8 spills fat leaves into a second packet run
+            # row (supported, tested) but measured SLOWER on v5e: Yoimiya
+            # secondary traversal 12.79 ms (8) vs 13.48 (12) vs 13.30 (16)
+            # — the extra leaf vector work outweighs the ~20% node-pop
+            # saving. Default stays 8 = one full run row.
             bvh = build_bvh(plow, phigh, centroid=tri_p.mean(axis=1),
-                            max_depth=mesh_max_depth, max_leaf=max_leaf)
+                            max_depth=mesh_max_depth, max_leaf=mesh_max_leaf)
             # (mesh_max_depth default below keeps reference parity for
             # serialization; traversal quality comes from the wide collapse)
             mesh_devices.append(_mesh_device(
@@ -373,9 +378,10 @@ class LegacyWorld:
             f = rec["faces"]
             if rebuild_bvh:
                 tri_p = rec["positions"][f["p"]]
-                # max_leaf 8 fills the wide/packet leaf runs (8 tri slots per
-                # row); 4-prim binary leaves measured 7571 runs at 3.1
-                # tris/run on the 23k-tri Yoimiya mesh — double the pops
+                # max_leaf 8 fills one packet run row exactly. 4-prim leaves
+                # measured 7571 runs at 3.1 tris/run (double the pops);
+                # 12/16-prim leaves (2-row spill, supported) measured slower:
+                # Yoimiya secondary 12.79 ms (8) vs 13.48 (12) / 13.30 (16)
                 bvh = build_bvh(tri_p.min(axis=1), tri_p.max(axis=1),
                                 centroid=tri_p.mean(axis=1),
                                 max_depth=24, max_leaf=8)

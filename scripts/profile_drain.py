@@ -64,13 +64,13 @@ def main():
     full = float(st["passes_full"])
     print(f"render {dt:.2f}s  segments={segs_v:.3e}  "
           f"mrays={segs_v/dt/1e6:.2f}")
-    n_pix = res[0] * res[1]
-    print(f"full-width passes: {full:.0f}  (pool lanes x passes = "
-          f"{full * n_pix:.3e} lane-slots)")
+    pool = int(st["pool"])   # auto policy may pick a fractional pool < n
+    print(f"full-width passes: {full:.0f} at pool={pool} (= "
+          f"{full * pool:.3e} lane-slots)")
     for w, c in zip(st["drain_widths"], st["drain_passes"]):
         print(f"  drain width {w:>7}: {float(c):5.0f} passes "
               f"({float(c) * w:.3e} lane-slots)")
-    total_slots = full * n_pix + sum(
+    total_slots = full * pool + sum(
         float(c) * w for w, c in zip(st["drain_widths"], st["drain_passes"]))
     print(f"occupancy = segments / lane-slots = {segs_v / total_slots:.2%}")
 

@@ -120,3 +120,35 @@ def test_packet_sorted_path_exact(np_rng):
                         interpret=True, sort_rays=True)
     assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
     assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_packet_fat_leaves_two_row_runs(np_rng, version):
+    """max_leaf > 8 spills leaf runs into a second packed row; both kernel
+    versions must still find every hit (a missed spill row would silently
+    drop triangles 9..count of each fat leaf)."""
+    v0, v1, v2 = _mesh(np_rng, 80)
+    plow = np.minimum(np.minimum(v0, v1), v2)
+    phigh = np.maximum(np.maximum(v0, v1), v2)
+    flat = build_bvh(plow, phigh, centroid=(v0 + v1 + v2) / 3,
+                     max_depth=4, max_leaf=14)  # shallow -> fat leaves
+    wide = collapse(flat)
+    nodes, entries, runs = pack_packet_tables(wide, v0, v1, v2)
+    # the point of this fixture: at least one run must exceed one row
+    assert int(np.asarray(flat.cut[1:] - flat.cut[:-1]).max()) > 8
+
+    n_r = 64
+    ro = np_rng.normal(size=(n_r, 3)).astype(np.float32) * 4
+    rd = np_rng.normal(size=(n_r, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    lt = make_triangle_leaf_test(*map(jnp.asarray, (v0, v1, v2)))
+    t_b, p_b = traverse(flat, jnp.asarray(ro), jnp.asarray(rd), lt)
+
+    t_p, p_p = packet_traverse(
+        nodes, entries, runs, jnp.asarray(ro), jnp.asarray(rd),
+        jnp.full((n_r,), jnp.inf, jnp.float32), jnp.ones((n_r,), bool),
+        interpret=True, version=version)
+    t_b, t_p = np.asarray(t_b), np.asarray(t_p)
+    assert np.array_equal(np.isfinite(t_b), np.isfinite(t_p))
+    hit = np.isfinite(t_b)
+    assert np.allclose(t_b[hit], t_p[hit], rtol=1e-4, atol=1e-5)
