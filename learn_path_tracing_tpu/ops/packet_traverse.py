@@ -284,7 +284,7 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
 
 def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
                iters_ref, stack_ref, stack_t_ref, cnt_ref, cap_ref, *, eps,
-               max_iters, cap):
+               max_iters, cap, nstacks=1):
     """Inline-leaf ordered packet traversal (v2).
 
     Telemetry on the v1 kernel (scripts/profile_packet_stats.py, Yoimiya
@@ -311,154 +311,190 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
       (a stale cap only costs missed skips, never wrong results).
 
     Same hit semantics as _kernel (reference 15_module.py:756-779,909-953).
+
+    ``nstacks > 1`` splits the block into that many independent sub-packets
+    traversed INTERLEAVED in one while loop (one pop each per iteration,
+    own stack/cap) — built to test whether the pop chain was latency-bound
+    (it is NOT: Yoimiya secondary sorted measured 12.76 / 13.27 / 14.44 ms
+    for nstacks 1/2/4 on v5e — per-pop cost tracks pure vector throughput,
+    so sub-packets only add per-pop overhead). Kept at default 1; exact
+    results for any value (tested).
     """
     b = rays_ref.shape[1]
-    ro2 = [rays_ref[_RO + d:_RO + d + 1, :] for d in range(3)]   # [1,B]
-    rd2 = [rays_ref[_RD + d:_RD + d + 1, :] for d in range(3)]
-    inv2 = [1.0 / rd2[d] for d in range(3)]
+    sb = b // nstacks
     t_ref[0, :] = rays_ref[_TINIT, :]
     prim_ref[0, :] = jnp.full((b,), -1, jnp.int32)
-    stack_ref[0] = jnp.int32(0)   # root node
-    stack_t_ref[0] = jnp.float32(0.0)
-    cap_ref[0] = jnp.max(rays_ref[_TINIT, :])
     imax = jnp.int32(np.int32(2**31 - 1))
     slot8 = jax.lax.broadcasted_iota(jnp.int32, (WIDTH, 1), 0)
+    for h in range(nstacks):
+        stack_ref[h * cap] = jnp.int32(0)   # root node
+        stack_t_ref[h * cap] = jnp.float32(0.0)
+        cap_ref[h] = jnp.max(rays_ref[_TINIT, h * sb:(h + 1) * sb])
 
-    def _leaf_runs(run_row):
-        """Test one run row's 8 triangle slots against all lanes."""
-        row = runs_ref[pl.ds(run_row, 1), :]
+    def _make_half(h):
+        """Closures for sub-packet ``h``: lanes [h*sb, (h+1)*sb)."""
+        lo_l, hi_l = h * sb, (h + 1) * sb
+        ro2 = [rays_ref[_RO + d:_RO + d + 1, lo_l:hi_l] for d in range(3)]
+        rd2 = [rays_ref[_RD + d:_RD + d + 1, lo_l:hi_l] for d in range(3)]
+        inv2 = [1.0 / rd2[d] for d in range(3)]
 
-        def coef(k):
-            return row[0, k * WIDTH:(k + 1) * WIDTH].reshape(WIDTH, 1)
+        def leaf_runs(run_row):
+            """Test one run row's 8 triangle slots against the sub-lanes."""
+            row = runs_ref[pl.ds(run_row, 1), :]
 
-        denom = (rd2[0] * coef(0) + rd2[1] * coef(1) + rd2[2] * coef(2))
-        ron = (ro2[0] * coef(0) + ro2[1] * coef(1) + ro2[2] * coef(2))
-        t = (coef(3) - ron) / denom
-        w1 = (ro2[0] * coef(4) + ro2[1] * coef(5) + ro2[2] * coef(6)
-              + t * (rd2[0] * coef(4) + rd2[1] * coef(5)
-                     + rd2[2] * coef(6)) + coef(7))
-        w2 = (ro2[0] * coef(8) + ro2[1] * coef(9) + ro2[2] * coef(10)
-              + t * (rd2[0] * coef(8) + rd2[1] * coef(9)
-                     + rd2[2] * coef(10)) + coef(11))
-        w3 = 1.0 - w1 - w2
-        t_b = t_ref[0, :]
-        ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
-              & (t < t_b[None, :]))                         # [8,B]
-        t_masked = jnp.where(ok, t, jnp.inf)
-        t_new = jnp.min(t_masked, axis=0)                   # [B]
-        improved = jnp.isfinite(t_new) & (t_new < t_b)
-        # winning slot -> prim id, all in vector land: [1,1] row slices
-        # broadcast against [1,B] selects (v1 did 8 scalar VMEM reads here)
-        pid = prim_ref[0:1, :].astype(jnp.float32)
-        for j in reversed(range(SLOTS)):  # earliest slot wins ties
-            won = improved[None, :] & (t_masked[j:j + 1, :] == t_new[None, :])
-            pid = jnp.where(won, row[0:1, _PRIM_COL + j:_PRIM_COL + j + 1],
-                            pid)
-        t_ref[0, :] = jnp.where(improved, t_new, t_b)
-        prim_ref[0, :] = pid[0, :].astype(jnp.int32)
+            def coef(k):
+                return row[0, k * WIDTH:(k + 1) * WIDTH].reshape(WIDTH, 1)
+
+            denom = (rd2[0] * coef(0) + rd2[1] * coef(1) + rd2[2] * coef(2))
+            ron = (ro2[0] * coef(0) + ro2[1] * coef(1) + ro2[2] * coef(2))
+            t = (coef(3) - ron) / denom
+            w1 = (ro2[0] * coef(4) + ro2[1] * coef(5) + ro2[2] * coef(6)
+                  + t * (rd2[0] * coef(4) + rd2[1] * coef(5)
+                         + rd2[2] * coef(6)) + coef(7))
+            w2 = (ro2[0] * coef(8) + ro2[1] * coef(9) + ro2[2] * coef(10)
+                  + t * (rd2[0] * coef(8) + rd2[1] * coef(9)
+                         + rd2[2] * coef(10)) + coef(11))
+            w3 = 1.0 - w1 - w2
+            t_b = t_ref[0, lo_l:hi_l]
+            ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
+                  & (t < t_b[None, :]))                     # [8,SB]
+            t_masked = jnp.where(ok, t, jnp.inf)
+            t_new = jnp.min(t_masked, axis=0)               # [SB]
+            improved = jnp.isfinite(t_new) & (t_new < t_b)
+            # winning slot -> prim id, all in vector land: [1,1] row slices
+            # broadcast against [1,SB] selects (v1 did 8 scalar VMEM reads)
+            pid = prim_ref[0:1, lo_l:hi_l].astype(jnp.float32)
+            for j in reversed(range(SLOTS)):  # earliest slot wins ties
+                won = (improved[None, :]
+                       & (t_masked[j:j + 1, :] == t_new[None, :]))
+                pid = jnp.where(won,
+                                row[0:1, _PRIM_COL + j:_PRIM_COL + j + 1],
+                                pid)
+            t_ref[0, lo_l:hi_l] = jnp.where(improved, t_new, t_b)
+            prim_ref[0, lo_l:hi_l] = pid[0, :].astype(jnp.int32)
+
+        def pop(sp, it):
+            """One stack pop for sub-packet h. cnt_ref[h] must be 0 on
+            entry; leaves it at the pushed-children count."""
+            code = stack_ref[h * cap + sp]
+            t0_pop = stack_t_ref[h * cap + sp]
+            live = t0_pop < cap_ref[h] + eps   # stale entries pop in O(1)
+
+            @pl.when(live)
+            def _node():
+                row = nodes_ref[pl.ds(code, 1), :]
+                t0 = jnp.full((WIDTH, sb), -jnp.inf, jnp.float32)
+                t1 = jnp.full((WIDTH, sb), jnp.inf, jnp.float32)
+                for d in range(3):
+                    lo = row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
+                    hi = row[0, (3 + d) * 8:(4 + d) * 8].reshape(WIDTH, 1)
+                    ta = (lo - ro2[d]) * inv2[d]
+                    tb = (hi - ro2[d]) * inv2[d]
+                    t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+                    t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+                t_best2 = t_ref[0:1, lo_l:hi_l]
+                lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
+                            & (t0 < t_best2 + eps))            # [8,SB]
+                ent = entries_ref[pl.ds(code, 1), 0:WIDTH].reshape(WIDTH, 1)
+                tmin = jnp.min(jnp.where(lane_hit, jnp.maximum(t0, 0.0),
+                                         jnp.inf), axis=1, keepdims=True)
+                key = jnp.where(ent != _PAD, tmin, jnp.inf)    # [8,1]
+                # unique int-sortable keys: f32 bits (keys >= 0) | slot id
+                ikey = (jax.lax.bitcast_convert_type(key, jnp.int32)
+                        & jnp.int32(~7)) | slot8
+                finite = key < jnp.inf
+                is_leaf = ent < 0                              # PAD->~finite
+
+                # ---- inline leaves, nearest-first (no stack traffic) ----
+                lkey = jnp.where(finite & is_leaf, ikey, imax)
+                n_leaf = jnp.sum((finite & is_leaf).astype(jnp.int32))
+
+                def lbody(_, lk):
+                    lmin = jnp.min(lk)
+                    sel = lk == lmin                           # one-hot
+                    lcode = jnp.sum(jnp.where(sel, ent, 0))
+                    v = -(lcode + 1)
+                    row0 = v // _ENC
+                    leaf_runs(row0)
+
+                    @pl.when(v % _ENC > SLOTS)  # fat leaf: 2nd spill row
+                    def _row2():
+                        leaf_runs(row0 + 1)
+
+                    return jnp.where(sel, imax, lk)
+
+                lax.fori_loop(0, n_leaf, lbody, lkey)
+
+                # ---- node children: 0/1 fast paths, sort when >= 2 ----
+                nmask = finite & ~is_leaf
+                nkey = jnp.where(nmask, ikey, imax)
+                n_node = jnp.sum(nmask.astype(jnp.int32))
+                cnt_ref[h] = n_node
+
+                @pl.when(n_node == 1)
+                def _push1():
+                    sel = nkey == jnp.min(nkey)
+                    stack_ref[h * cap + sp] = jnp.sum(jnp.where(sel, ent, 0))
+                    stack_t_ref[h * cap + sp] = jnp.sum(
+                        jnp.where(sel & finite, jnp.maximum(tmin, 0.0), 0.0))
+
+                @pl.when(n_node >= 2)
+                def _pushn():
+                    keyn = jnp.where(nmask, jnp.maximum(tmin, 0.0), jnp.inf)
+                    keyv = [keyn[c, 0] for c in range(WIDTH)]
+                    entv = [ent[c, 0] for c in range(WIDTH)]
+                    for a_, b_ in _SORT8_PAIRS:
+                        swap = keyv[a_] > keyv[b_]
+                        ka = jnp.where(swap, keyv[b_], keyv[a_])
+                        kb = jnp.where(swap, keyv[a_], keyv[b_])
+                        va = jnp.where(swap, entv[b_], entv[a_])
+                        vb = jnp.where(swap, entv[a_], entv[b_])
+                        keyv[a_], keyv[b_] = ka, kb
+                        entv[a_], entv[b_] = va, vb
+                    for c in range(WIDTH):
+                        valid = jnp.isfinite(keyv[c])
+                        pos = jnp.where(valid, h * cap + sp + n_node - 1 - c,
+                                        h * cap + cap - 1)
+                        trash = stack_ref[h * cap + cap - 1]
+                        trash_t = stack_t_ref[h * cap + cap - 1]
+                        stack_ref[pos] = jnp.where(valid, entv[c], trash)
+                        stack_t_ref[pos] = jnp.where(valid, keyv[c], trash_t)
+
+            # refresh the stale-prune cap every 4th pop: a [SB]-lane max
+            # reduce per leaf (v1) cost 15k reduces/call for zero fired
+            # skips on mixed wavefronts; staleness only delays skips
+            @pl.when(live & ((it & 3) == 0))
+            def _cap():
+                cap_ref[h] = jnp.max(t_ref[0, lo_l:hi_l])
+
+        return pop
+
+    pops = [_make_half(h) for h in range(nstacks)]
 
     def cond(carry):
-        sp, it = carry
-        return (sp >= 0) & (it < max_iters)
+        it = carry[-1]
+        any_live = carry[0] >= 0
+        for h in range(1, nstacks):
+            any_live = any_live | (carry[h] >= 0)
+        return any_live & (it < max_iters)
 
     def body(carry):
-        sp, it = carry
-        code = stack_ref[sp]
-        t0_pop = stack_t_ref[sp]
-        cnt_ref[0] = jnp.int32(0)
-        live = t0_pop < cap_ref[0] + eps   # stale entries pop in O(1)
+        sps, it = carry[:-1], carry[-1]
+        new_sps = []
+        for h in range(nstacks):
+            cnt_ref[h] = jnp.int32(0)
 
-        @pl.when(live)
-        def _node():
-            row = nodes_ref[pl.ds(code, 1), :]
-            t0 = jnp.full((WIDTH, b), -jnp.inf, jnp.float32)
-            t1 = jnp.full((WIDTH, b), jnp.inf, jnp.float32)
-            for d in range(3):
-                lo = row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
-                hi = row[0, (3 + d) * 8:(4 + d) * 8].reshape(WIDTH, 1)
-                ta = (lo - ro2[d]) * inv2[d]
-                tb = (hi - ro2[d]) * inv2[d]
-                t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
-                t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
-            t_best2 = t_ref[0:1, :]
-            lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
-                        & (t0 < t_best2 + eps))                # [8,B]
-            ent = entries_ref[pl.ds(code, 1), 0:WIDTH].reshape(WIDTH, 1)
-            tmin = jnp.min(jnp.where(lane_hit, jnp.maximum(t0, 0.0),
-                                     jnp.inf), axis=1, keepdims=True)
-            key = jnp.where(ent != _PAD, tmin, jnp.inf)        # [8,1]
-            # unique int-sortable keys: f32 bits (keys >= 0) | slot id
-            ikey = (jax.lax.bitcast_convert_type(key, jnp.int32)
-                    & jnp.int32(~7)) | slot8
-            finite = key < jnp.inf
-            is_leaf = ent < 0                                  # PAD -> ~finite
+            @pl.when(sps[h] >= 0)
+            def _go(h=h):
+                pops[h](sps[h], it)
 
-            # ---- inline leaves, nearest-first (never touch the stack) ----
-            lkey = jnp.where(finite & is_leaf, ikey, imax)
-            n_leaf = jnp.sum((finite & is_leaf).astype(jnp.int32))
+            new_sps.append(jnp.where(sps[h] >= 0,
+                                     sps[h] - 1 + cnt_ref[h], sps[h]))
+        return (*new_sps, it + 1)
 
-            def lbody(_, lk):
-                lmin = jnp.min(lk)
-                sel = lk == lmin                               # one-hot
-                lcode = jnp.sum(jnp.where(sel, ent, 0))
-                v = -(lcode + 1)
-                row0 = v // _ENC
-                _leaf_runs(row0)
-
-                @pl.when(v % _ENC > SLOTS)   # fat leaf: second spill row
-                def _row2():
-                    _leaf_runs(row0 + 1)
-
-                return jnp.where(sel, imax, lk)
-
-            lax.fori_loop(0, n_leaf, lbody, lkey)
-
-            # ---- node children: 0/1 fast paths, sort only when >= 2 ----
-            nmask = finite & ~is_leaf
-            nkey = jnp.where(nmask, ikey, imax)
-            n_node = jnp.sum(nmask.astype(jnp.int32))
-            cnt_ref[0] = n_node
-
-            @pl.when(n_node == 1)
-            def _push1():
-                sel = nkey == jnp.min(nkey)
-                stack_ref[sp] = jnp.sum(jnp.where(sel, ent, 0))
-                stack_t_ref[sp] = jnp.sum(jnp.where(sel & finite,
-                                                    jnp.maximum(tmin, 0.0),
-                                                    0.0))
-
-            @pl.when(n_node >= 2)
-            def _pushn():
-                keyn = jnp.where(nmask, jnp.maximum(tmin, 0.0), jnp.inf)
-                keyv = [keyn[c, 0] for c in range(WIDTH)]
-                entv = [ent[c, 0] for c in range(WIDTH)]
-                for a_, b_ in _SORT8_PAIRS:
-                    swap = keyv[a_] > keyv[b_]
-                    ka = jnp.where(swap, keyv[b_], keyv[a_])
-                    kb = jnp.where(swap, keyv[a_], keyv[b_])
-                    va = jnp.where(swap, entv[b_], entv[a_])
-                    vb = jnp.where(swap, entv[a_], entv[b_])
-                    keyv[a_], keyv[b_] = ka, kb
-                    entv[a_], entv[b_] = va, vb
-                for c in range(WIDTH):
-                    valid = jnp.isfinite(keyv[c])
-                    pos = jnp.where(valid, sp + n_node - 1 - c, cap - 1)
-                    stack_ref[pos] = jnp.where(valid, entv[c],
-                                               stack_ref[cap - 1])
-                    stack_t_ref[pos] = jnp.where(valid, keyv[c],
-                                                 stack_t_ref[cap - 1])
-
-        # refresh the stale-prune cap every 4th pop: the [B]-lane max reduce
-        # is too expensive per leaf (v1 paid it 15k times per call for zero
-        # fired skips on mixed wavefronts); staleness only delays skips
-        @pl.when(live & ((it & 3) == 0))
-        def _cap():
-            cap_ref[0] = jnp.max(t_ref[0, :])
-
-        return sp - 1 + cnt_ref[0], it + 1
-
-    _, it_final = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
-    iters_ref[0, :] = jnp.full((b,), it_final, jnp.int32)
+    out = lax.while_loop(cond, body,
+                         (*([jnp.int32(0)] * nstacks), jnp.int32(0)))
+    iters_ref[0, :] = jnp.full((b,), out[-1], jnp.int32)
 
 
 def _treelet_entry_key(nodes, entries, ro, rd):
@@ -600,11 +636,12 @@ def _sort_inv(order_idx, t, prim):
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",
                                              "with_stats", "sort_key",
-                                             "version"))
+                                             "version", "nstacks"))
 def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
                     eps: float = 1e-4, interpret: bool = False,
                     sort_rays: bool = True, with_stats: bool = False,
-                    sort_key: str = "treelet", version: int = 2):
+                    sort_key: str = "treelet", version: int = 2,
+                    nstacks: int = 1):
     """Nearest-hit packet traversal.
 
     Args: packed tables from ``pack_packet_tables``; ``ro/rd f32[N,3]``;
@@ -618,6 +655,8 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     n = ro.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     m = nodes.shape[0]
+    if RAY_BLOCK % nstacks:
+        raise ValueError(f"nstacks={nstacks} must divide block {RAY_BLOCK}")
 
     # Pack the 8 per-ray fields into rows FIRST so the coherence reorder is
     # one row gather instead of 8 separate takes (measured ~10 ms → ~2 ms at
@@ -651,16 +690,27 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     max_iters = 16 * m + 64  # hard termination backstop
 
     grid = (n_pad // RAY_BLOCK,)
-    kern = _kernel_v2 if version == 2 else _kernel
-    scratch = [
-        pltpu.SMEM((8 * 64 + 8,), jnp.int32),
-        pltpu.SMEM((8 * 64 + 8,), jnp.float32),
-        pltpu.SMEM((1,), jnp.int32),
-    ]
     if version == 2:
-        scratch.append(pltpu.SMEM((1,), jnp.float32))  # cap_ref
+        kern = functools.partial(_kernel_v2, eps=eps, max_iters=max_iters,
+                                 cap=cap, nstacks=nstacks)
+        scratch = [
+            pltpu.SMEM((cap * nstacks,), jnp.int32),
+            pltpu.SMEM((cap * nstacks,), jnp.float32),
+            pltpu.SMEM((nstacks,), jnp.int32),
+            pltpu.SMEM((nstacks,), jnp.float32),  # cap_ref
+        ]
+    else:
+        if nstacks != 1:
+            raise ValueError("nstacks > 1 requires version=2")
+        kern = functools.partial(_kernel, eps=eps, max_iters=max_iters,
+                                 cap=cap)
+        scratch = [
+            pltpu.SMEM((cap,), jnp.int32),
+            pltpu.SMEM((cap,), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ]
     t, prim, iters = pl.pallas_call(
-        functools.partial(kern, eps=eps, max_iters=max_iters, cap=cap),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((nodes.shape[0], 128), lambda i: (0, 0),
