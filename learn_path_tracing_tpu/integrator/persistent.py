@@ -144,30 +144,31 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
                 f"(each lane runs spp/pool_mult work items)")
         pool = pool_mult * n
     elif pool_div:
-        # Fractional pool: fewer lanes, each running pool_div*spp work
+        # Fractional pool: fewer lanes, each running ~pool_div*spp work
         # items. Longer per-lane item lists concentrate total lane work
         # around the mean (CLT), so end-of-schedule occupancy decay — the
         # dominant loss at large n (61% occupancy at 921k lanes, round 1) —
-        # shrinks as 1/sqrt(items_per). The item algebra needs spp | pool.
-        if (n % pool_div) or ((n // pool_div) % spp):
+        # shrinks as 1/sqrt(items_per). The item algebra needs only
+        # spp | pool (items_per is a ceiling; overshoot items are masked).
+        pool = -(-(n // pool_div) // spp) * spp
+        if pool < spp:
             raise ValueError(
-                f"pool_div={pool_div}: need pool = n/pool_div to be a "
-                f"multiple of spp (n={n}, spp={spp})")
-        pool = n // pool_div
+                f"pool_div={pool_div} leaves a pool below spp={spp}")
     else:
         # Auto policy (v5e sweep, 1280x720 spp64 headline): 86.2 Mrays/s at
         # pool=n, 92.4 at n/2, 94.4 at n/4, 104.1 at n/8, 106.9 at n/16
         # (pool 57.6k), 92.2 at n/32 — occupancy keeps improving with item
         # list length until per-pass fixed costs dominate below ~50k lanes.
-        # Pick the largest power-of-2 divisor keeping pool >= POOL_FLOOR.
+        # Halve while staying >= POOL_FLOOR, then round up to an spp
+        # multiple (works for ANY n, e.g. the 3000x2000 flagship render).
         pool = n
         if matmul_acc:
-            d = 1
-            while (n % (2 * d) == 0 and (n // (2 * d)) % spp == 0
-                   and n // (2 * d) >= POOL_FLOOR):
-                d *= 2
-            pool = n // d
-    items_per = (n * spp) // pool if matmul_acc else spp
+            while pool // 2 >= POOL_FLOOR:
+                pool //= 2
+            pool = -(-pool // spp) * spp
+    # items_per is a CEILING: pool need not divide n*spp — item slots whose
+    # pixel lands past n are masked invalid in item_of and never traced.
+    items_per = -(-(n * spp) // pool) if matmul_acc else spp
     lanes = jnp.arange(pool, dtype=jnp.uint32)
     groups = pool // spp if matmul_acc else 0
 
@@ -177,8 +178,8 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
     def item_of(k):
         """k-th work item of each lane → (valid, pixel u32[P], sample u32[P])."""
         if matmul_acc:
-            valid = jnp.broadcast_to(k < jnp.uint32(items_per), lanes.shape)
             pixel = group_const + k * jnp.uint32(groups)
+            valid = (k < jnp.uint32(items_per)) & (pixel < jnp.uint32(n))
             pixel = jnp.minimum(pixel, jnp.uint32(n - 1))
             return valid, pixel, sample_const
         witem = lanes + k * jnp.uint32(pool)
@@ -303,7 +304,9 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
 
     if matmul_acc:
         # acc[g, k] holds pixel g + k*groups → transpose to pixel-major.
-        acc = acc.transpose(1, 0, 2).reshape(n, 3)
+        # The ceil item schedule can overshoot n; the excess rows are
+        # all-zero (their items were masked invalid) — slice them off.
+        acc = acc.transpose(1, 0, 2).reshape(groups * items_per, 3)[:n]
     acc_flat = acc
 
     g_arr = lanes // jnp.uint32(spp)
@@ -325,9 +328,9 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
         g_cur, samp_cur = g_arr, samp_arr
 
         def item_of_d(kv, g_cur=g_cur, samp_cur=samp_cur):
-            valid = jnp.broadcast_to(kv < jnp.uint32(items_per), kv.shape)
-            pixel = jnp.minimum(g_cur + kv * jnp.uint32(groups),
-                                jnp.uint32(n - 1))
+            pixel = g_cur + kv * jnp.uint32(groups)
+            valid = (kv < jnp.uint32(items_per)) & (pixel < jnp.uint32(n))
+            pixel = jnp.minimum(pixel, jnp.uint32(n - 1))
             return valid, pixel, samp_cur
 
         next_w = levels[li + 1] if li + 1 < len(levels) else 0

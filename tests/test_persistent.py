@@ -79,3 +79,23 @@ def test_bitwise_equal_legacy_scene():
     assert np.allclose(np.asarray(a_img), np.asarray(b_img),
                        rtol=0, atol=5e-7)
     assert float(a_seg) == float(b_seg)
+
+
+def test_nondivisor_pool_matches_default():
+    """pool need not divide n*spp: items_per is a ceiling and overshoot
+    item slots are masked invalid. A pool_div that leaves a ragged
+    schedule must produce the same image and segment count (flagship
+    3000x2000-style configs have no power-of-2-friendly divisors)."""
+    world = stage8_scene()
+    cam = Camera(RES)
+    cam.set_position((0, 0.4, 4))
+    wd = world.device()
+    # RES 28x20 -> n=560, spp=4: pool_div=3 -> pool=ceil(186/4)*4=188,
+    # items_per=ceil(2240/188)=12, groups 47 * 12 = 564 > 560 -> 4 masked
+    a_img, a_seg = render_persistent(wd, cam.params(), RES, spp=4, limit=8,
+                                     seed=11)
+    b_img, b_seg = render_persistent(wd, cam.params(), RES, spp=4, limit=8,
+                                     seed=11, pool_div=3)
+    assert np.allclose(np.asarray(a_img), np.asarray(b_img),
+                       rtol=0, atol=5e-7)
+    assert float(a_seg) == float(b_seg)
