@@ -361,17 +361,22 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
             t_masked = jnp.where(ok, t, jnp.inf)
             t_new = jnp.min(t_masked, axis=0)               # [SB]
             improved = jnp.isfinite(t_new) & (t_new < t_b)
-            # winning slot -> prim id, all in vector land: [1,1] row slices
-            # broadcast against [1,SB] selects (v1 did 8 scalar VMEM reads)
-            pid = prim_ref[0:1, lo_l:hi_l].astype(jnp.float32)
-            for j in reversed(range(SLOTS)):  # earliest slot wins ties
-                won = (improved[None, :]
-                       & (t_masked[j:j + 1, :] == t_new[None, :]))
-                pid = jnp.where(won,
-                                row[0:1, _PRIM_COL + j:_PRIM_COL + j + 1],
-                                pid)
+            # winning slot -> prim id via unique int slot-keys: one sublane
+            # min + one one-hot sum instead of 8 serial [1,SB] selects
+            # (each [1,SB] op still burns SB/128 full VREGs). Slot id in
+            # the 3 dropped mantissa LSBs keeps keys unique; earliest slot
+            # wins near-ties (within 8 ulps), t_new itself stays exact.
+            tkey = (jax.lax.bitcast_convert_type(t_masked, jnp.int32)
+                    & jnp.int32(~7)) | slot8               # [8,SB]
+            kmin = jnp.min(tkey, axis=0)                   # [SB]
+            won = tkey == kmin[None, :]                    # one-hot per lane
+            primv = row[0:1, _PRIM_COL:_PRIM_COL + SLOTS].reshape(SLOTS, 1)
+            pidf = jnp.sum(jnp.where(won, primv, 0.0), axis=0)
+            pid_old = prim_ref[0, lo_l:hi_l]
+            prim_ref[0, lo_l:hi_l] = jnp.where(improved,
+                                               pidf.astype(jnp.int32),
+                                               pid_old)
             t_ref[0, lo_l:hi_l] = jnp.where(improved, t_new, t_b)
-            prim_ref[0, lo_l:hi_l] = pid[0, :].astype(jnp.int32)
 
         def pop(sp, it):
             """One stack pop for sub-packet h. cnt_ref[h] must be 0 on
@@ -396,8 +401,18 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
                 lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
                             & (t0 < t_best2 + eps))            # [8,SB]
                 ent = entries_ref[pl.ds(code, 1), 0:WIDTH].reshape(WIDTH, 1)
-                tmin = jnp.min(jnp.where(lane_hit, jnp.maximum(t0, 0.0),
-                                         jnp.inf), axis=1, keepdims=True)
+                hitt = jnp.where(lane_hit, jnp.maximum(t0, 0.0), jnp.inf)
+                # two-stage lane reduce: fold the SB/128 lane-tiles with
+                # elementwise mins first, then one in-tile cross-lane min.
+                # (a flat jnp.min(axis=1) over [8,SB] measured ~half the
+                # kernel time — Mosaic shuffles full-width operands)
+                if sb % 128 == 0 and sb > 128:
+                    accr = hitt[:, 0:128]
+                    for i in range(1, sb // 128):
+                        accr = jnp.minimum(accr, hitt[:, i * 128:(i + 1) * 128])
+                    tmin = jnp.min(accr, axis=1, keepdims=True)
+                else:
+                    tmin = jnp.min(hitt, axis=1, keepdims=True)
                 key = jnp.where(ent != _PAD, tmin, jnp.inf)    # [8,1]
                 # unique int-sortable keys: f32 bits (keys >= 0) | slot id
                 ikey = (jax.lax.bitcast_convert_type(key, jnp.int32)
