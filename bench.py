@@ -41,9 +41,19 @@ def main():
                    help="report wall seconds to render 1024spp at 1080p "
                         "(the BASELINE.json time-to-quality metric), "
                         "chunked so no device call trips the watchdog")
+    p.add_argument("--flagship", action="store_true",
+                   help="the reference's flagship mesh workload: Yoimiya at "
+                        "3000x2000, 32 spp, depth 32 "
+                        "(legacy/PT_in_one_weekend/15_module.py:36-44); "
+                        "reports wall seconds for the full frame")
     args = p.parse_args()
+    if args.time1024 and args.flagship:
+        p.error("--time1024 and --flagship are mutually exclusive")
     if args.time1024:
         args.width, args.height, args.spp = 1920, 1080, 1024
+    if args.flagship:
+        args.scene = "yoimiya"
+        args.width, args.height, args.spp = 3000, 2000, 32
 
     import jax
 
@@ -130,6 +140,25 @@ def main():
                                  hit_backend=args.hit_backend,
                                  pool_mult=args.pool_mult,
                                  pool_div=args.pool_div)
+
+    if args.flagship:
+        # one frame = one device call (spp 32 fits the watchdog comfortably);
+        # report wall seconds per frame, the reference's own unit
+        import jax.numpy as jnp
+
+        img, segs = run(-1)            # warm-up compile + transfer path
+        float(jnp.sum(img))
+        t0 = time.time()
+        img, segs = run(0)
+        total_segs = float(segs) + float(jnp.sum(img)) * 0.0
+        dt = time.time() - t0
+        print(json.dumps({
+            "metric": "seconds_flagship_3000x2000_spp32_yoimiya",
+            "value": round(dt, 2),
+            "unit": "s",
+            "vs_baseline": round(total_segs / dt / 1e6 / 100.0, 3),
+        }))
+        return 0
 
     dt, (img, segs) = time_fn(run, 0, iters=2)
     mrays = float(segs) / dt / 1e6

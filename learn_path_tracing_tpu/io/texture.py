@@ -448,7 +448,14 @@ def sample_bilinear_strips(atlas: StripAtlas, tex_id, u, v, channels: int):
     c = channels
     texels = atlas.table.shape[1] // (2 * c)
     stride = texels - 1
-    info = jnp.take(atlas.info, tex_id, axis=0)        # one row gather
+    if atlas.info.shape[0] == 1:
+        # single-texture atlas (every character world ships one material
+        # texture): the per-lane info-row gather is a constant — broadcast
+        # row 0 instead of paying a latency-bound N-row take
+        info = jnp.broadcast_to(atlas.info[0][None, :],
+                                (u.shape[0], atlas.info.shape[1]))
+    else:
+        info = jnp.take(atlas.info, tex_id, axis=0)    # one row gather
     wpix, hpix, base, spr = (info[:, 0], info[:, 1], info[:, 2], info[:, 3])
     uu = u * wpix.astype(jnp.float32) - 0.5
     vv = v * hpix.astype(jnp.float32) - 0.5

@@ -427,6 +427,169 @@ class LegacyWorld:
 
 # --------------------------------------------------------------- tracing --
 
+def _attrs_block(world: LegacyWorldData, point, pidx, src_best, hit_mask):
+    """Attribute fetch + material tap for M lanes (any static M).
+
+    Deferred shading: one attribute gather + ONE atlas tap for the whole
+    batch, regardless of structure/mesh count (gathers are the measured
+    bottleneck of the legacy hit path; the reference's per-structure taps
+    are per-thread and free, 15_module.py:864-953). Returns
+    (normal, uv, albedo, roughness, metallic, transparency), each [M,...];
+    miss lanes get the defaults the guards below produce.
+    """
+    m_lanes = hit_mask.shape[0]
+    normal = jnp.zeros((m_lanes, 3), jnp.float32).at[:, 2].set(1.0)
+    uv = jnp.zeros((m_lanes, 2), jnp.float32)
+    transparency = jnp.zeros((m_lanes,), jnp.float32)
+
+    atlas = world.atlas
+    is_mesh = src_best >= 1
+    u_tap = jnp.full((m_lanes,), 0.5, jnp.float32)
+    v_tap = jnp.full((m_lanes,), 0.5, jnp.float32)
+    tex_tap = jnp.zeros((m_lanes,), jnp.int32)
+
+    # --- sphere attributes (4 small gathers; spheres also need the normal-
+    # map tangent frame, 15_module.py:874-895) ---
+    sp_frame = None
+    if world.spheres is not None:
+        s = world.spheres
+        m = src_best == 0
+        c = jnp.take(s.center, pidx, axis=0)
+        r = jnp.take(s.radius, pidx, axis=0)
+        nv = (point - c) / jnp.maximum(r, 1e-20)[:, None]
+        rr = jnp.sqrt(jnp.maximum(nv[:, 0] ** 2 + nv[:, 2] ** 2, 1e-20))
+        tang = jnp.stack([nv[:, 2] / rr, jnp.zeros_like(rr), -nv[:, 0] / rr], -1)
+        bitang = jnp.stack([nv[:, 0] * nv[:, 1], -rr, nv[:, 2] * nv[:, 1]], -1)
+        phi = jnp.arcsin(jnp.clip(nv[:, 1], -1.0, 1.0))
+        theta = jnp.arctan2(-nv[:, 0], -nv[:, 2])
+        su = (theta / jnp.pi + 1.0) / 2.0
+        sv = phi / jnp.pi + 0.5
+        sp_frame = (m, nv, tang, bitang)
+        uv = jnp.where(m[:, None], jnp.stack([su, sv], -1), uv)
+        u_tap = jnp.where(m, 2.0 * su, u_tap)
+        v_tap = jnp.where(m, sv, v_tap)
+        tex_tap = jnp.where(m, jnp.take(s.tex, pidx, axis=0), tex_tap)
+        transparency = jnp.where(m, jnp.take(s.transparency, pidx, axis=0),
+                                 transparency)
+
+    # --- mesh attributes: one packed-row gather for ALL meshes ---
+    if world.meshes:
+        offsets = np.cumsum(
+            [0] + [int(m_.tex.shape[0]) for m_ in world.meshes])[:-1]
+        gidx = pidx
+        if len(world.meshes) > 1:
+            off = jnp.zeros((m_lanes,), jnp.int32)
+            for k in range(1, len(world.meshes)):
+                off = jnp.where(src_best == 1 + k,
+                                jnp.int32(int(offsets[k])), off)
+            gidx = pidx + off
+        row = jnp.take(world.tri_attr, jnp.where(is_mesh, gidx, 0), axis=0)
+        p1, p2, p3 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
+        uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
+        m_tex = row[:, 24].astype(jnp.int32)
+        w1, w2, w3 = triangle_barycentrics(p1, p2, p3, point)
+        sm_n = w1[:, None] * n0 + w2[:, None] * n1 + w3[:, None] * n2
+        sm_n = sm_n / jnp.maximum(
+            jnp.sqrt(jnp.sum(sm_n * sm_n, -1, keepdims=True)), 1e-20)
+        sm_uv = w1[:, None] * uv0 + w2[:, None] * uv1 + w3[:, None] * uv2
+        mm = is_mesh[:, None]
+        # triangle normal mapping is computed but disabled in the reference
+        # (15_module.py:945) — smooth vertex normal wins
+        normal = jnp.where(mm, sm_n, normal)
+        uv = jnp.where(mm, sm_uv, uv)
+        u_tap = jnp.where(is_mesh, sm_uv[:, 0], u_tap)
+        v_tap = jnp.where(is_mesh, sm_uv[:, 1], v_tap)
+        tex_tap = jnp.where(is_mesh, jnp.maximum(m_tex, 0), tex_tap)
+
+    # --- the single material tap (strip-packed: one pair-row gather) ---
+    tap = sample_bilinear_strips(atlas, tex_tap, u_tap, v_tap, channels=8)
+    albedo = jnp.where(hit_mask[:, None], tap[:, 0:3], 0.0)
+    roughness = jnp.where(hit_mask, tap[:, 6], 0.0)
+    metallic = jnp.where(hit_mask, tap[:, 7], 0.0)
+
+    if sp_frame is not None:
+        m, nv, tang, bitang = sp_frame
+        nc = tap[:, 3:6]
+        mapped = nc[:, 0:1] * tang + nc[:, 1:2] * bitang + nc[:, 2:3] * nv
+        mapped = mapped / jnp.maximum(
+            jnp.sqrt(jnp.sum(mapped * mapped, -1, keepdims=True)), 1e-20)
+        normal = jnp.where(m[:, None], mapped, normal)
+
+    return normal, uv, albedo, roughness, metallic, transparency
+
+
+def _shade_attrs(world: LegacyWorldData, point, pidx, src_best, hit_mask):
+    """_attrs_block, compacted to the lanes that actually hit.
+
+    The block's gathers (tri-attr row + atlas pair row) are row-COUNT bound
+    (~68 M rows/s) — collapsing miss lanes' indices to row 0 does not help;
+    only gathering fewer rows does. Wavefront hit fractions here are tiny
+    (measured 8.6% primary / 2.1% secondary on the Yoimiya bench view, and
+    misses only ever need the defaults), so: stable-partition hits to the
+    front by carrying the lane payload THROUGH ``lax.sort`` (argsort+gather
+    is ~4x slower, see ops.packet_traverse._sort_fwd), run the block on the
+    smallest static prefix that covers the hit count, and restore lane
+    order with a second sort keyed on the carried index. Net: tap+gather
+    cost scales with hits, for ~2 extra [N]-row sorts (~2 ms at 230k vs
+    ~11 ms of full-width gathers).
+
+    Prefix widths are static {n/16, n/4, n}; ``lax.switch`` picks the
+    narrowest that fits, so a close-up view (high hit fraction) falls back
+    to the exact full-width path.
+    """
+    import jax
+    from jax import lax
+
+    n = hit_mask.shape[0]
+
+    def _r256(v):
+        return -(-v // 256) * 256
+
+    prefixes = sorted({w for w in (_r256(n // 16), _r256(n // 4))
+                       if 0 < w < n})
+    if n < 4096 or not prefixes:
+        return _attrs_block(world, point, pidx, src_best, hit_mask)
+
+    key = (~hit_mask).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    (_, px, py, pz, spidx, ssrc, sidx) = lax.sort(
+        (key, point[:, 0], point[:, 1], point[:, 2], pidx, src_best, idx),
+        num_keys=1)
+    spoint = jnp.stack([px, py, pz], axis=-1)
+    count = jnp.sum(hit_mask.astype(jnp.int32))
+    shit = idx < count   # sorted order: exactly the first `count` lanes hit
+
+    def make_branch(kw: int | None):
+        def branch(spoint, spidx, ssrc, shit):
+            if kw is None:
+                return _attrs_block(world, spoint, spidx, ssrc, shit)
+            outs = _attrs_block(world, spoint[:kw], spidx[:kw], ssrc[:kw],
+                                shit[:kw])
+            pad_nrm = jnp.zeros((n - kw, 3), jnp.float32).at[:, 2].set(1.0)
+            pads = (pad_nrm, jnp.zeros((n - kw, 2), jnp.float32),
+                    jnp.zeros((n - kw, 3), jnp.float32),
+                    jnp.zeros((n - kw,), jnp.float32),
+                    jnp.zeros((n - kw,), jnp.float32),
+                    jnp.zeros((n - kw,), jnp.float32))
+            return tuple(jnp.concatenate([o, p], axis=0)
+                         for o, p in zip(outs, pads))
+        return branch
+
+    branches = [make_branch(kw) for kw in prefixes] + [make_branch(None)]
+    bindex = sum((count > jnp.int32(kw)).astype(jnp.int32) for kw in prefixes)
+    nrm, suv, alb, rgh, met, tra = lax.switch(
+        bindex, branches, spoint, spidx, ssrc, shit)
+
+    # restore lane order: sort by the carried original index (a permutation,
+    # exact). 12 operands, one pass.
+    (_, n0, n1, n2, u0, u1, a0, a1, a2, rgho, meto, trao) = lax.sort(
+        (sidx, nrm[:, 0], nrm[:, 1], nrm[:, 2], suv[:, 0], suv[:, 1],
+         alb[:, 0], alb[:, 1], alb[:, 2], rgh, met, tra), num_keys=1)
+    return (jnp.stack([n0, n1, n2], -1), jnp.stack([u0, u1], -1),
+            jnp.stack([a0, a1, a2], -1), rgho, meto, trao)
+
+
 def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits:
     """Nearest hit across sphere BVH + all mesh BVHs, with materials sampled
     from the texture atlas (15_module.py:838-848 + 864-953 semantics,
@@ -502,89 +665,8 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
     point = ro + t_safe[:, None] * rd
     pidx = jnp.maximum(prim_best, 0)
 
-    normal = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
-    uv = jnp.zeros((n, 2), jnp.float32)
-    transparency = jnp.zeros((n,), jnp.float32)
-
-    atlas = world.atlas
-    is_mesh = src_best >= 1
-    # Deferred shading: one attribute gather + ONE atlas tap for the whole
-    # wavefront, regardless of structure/mesh count (gathers are the measured
-    # bottleneck of the legacy hit path; the reference's per-structure taps
-    # are per-thread and free, 15_module.py:864-953). Miss lanes collapse
-    # their tap coords to a single texel so the latency-bound gather only
-    # pays for lanes that actually hit.
-    u_tap = jnp.full((n,), 0.5, jnp.float32)
-    v_tap = jnp.full((n,), 0.5, jnp.float32)
-    tex_tap = jnp.zeros((n,), jnp.int32)
-
-    # --- sphere attributes (4 small gathers; spheres also need the normal-
-    # map tangent frame, 15_module.py:874-895) ---
-    sp_frame = None
-    if world.spheres is not None:
-        s = world.spheres
-        m = src_best == 0
-        c = jnp.take(s.center, pidx, axis=0)
-        r = jnp.take(s.radius, pidx, axis=0)
-        nv = (point - c) / jnp.maximum(r, 1e-20)[:, None]
-        rr = jnp.sqrt(jnp.maximum(nv[:, 0] ** 2 + nv[:, 2] ** 2, 1e-20))
-        tang = jnp.stack([nv[:, 2] / rr, jnp.zeros_like(rr), -nv[:, 0] / rr], -1)
-        bitang = jnp.stack([nv[:, 0] * nv[:, 1], -rr, nv[:, 2] * nv[:, 1]], -1)
-        phi = jnp.arcsin(jnp.clip(nv[:, 1], -1.0, 1.0))
-        theta = jnp.arctan2(-nv[:, 0], -nv[:, 2])
-        su = (theta / jnp.pi + 1.0) / 2.0
-        sv = phi / jnp.pi + 0.5
-        sp_frame = (m, nv, tang, bitang)
-        uv = jnp.where(m[:, None], jnp.stack([su, sv], -1), uv)
-        u_tap = jnp.where(m, 2.0 * su, u_tap)
-        v_tap = jnp.where(m, sv, v_tap)
-        tex_tap = jnp.where(m, jnp.take(s.tex, pidx, axis=0), tex_tap)
-        transparency = jnp.where(m, jnp.take(s.transparency, pidx, axis=0),
-                                 transparency)
-
-    # --- mesh attributes: one packed-row gather for ALL meshes ---
-    if world.meshes:
-        offsets = np.cumsum(
-            [0] + [int(m_.tex.shape[0]) for m_ in world.meshes])[:-1]
-        gidx = pidx
-        if len(world.meshes) > 1:
-            off = jnp.zeros((n,), jnp.int32)
-            for k in range(1, len(world.meshes)):
-                off = jnp.where(src_best == 1 + k,
-                                jnp.int32(int(offsets[k])), off)
-            gidx = pidx + off
-        row = jnp.take(world.tri_attr, jnp.where(is_mesh, gidx, 0), axis=0)
-        p1, p2, p3 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
-        n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
-        uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
-        m_tex = row[:, 24].astype(jnp.int32)
-        w1, w2, w3 = triangle_barycentrics(p1, p2, p3, point)
-        sm_n = w1[:, None] * n0 + w2[:, None] * n1 + w3[:, None] * n2
-        sm_n = sm_n / jnp.maximum(
-            jnp.sqrt(jnp.sum(sm_n * sm_n, -1, keepdims=True)), 1e-20)
-        sm_uv = w1[:, None] * uv0 + w2[:, None] * uv1 + w3[:, None] * uv2
-        mm = is_mesh[:, None]
-        # triangle normal mapping is computed but disabled in the reference
-        # (15_module.py:945) — smooth vertex normal wins
-        normal = jnp.where(mm, sm_n, normal)
-        uv = jnp.where(mm, sm_uv, uv)
-        u_tap = jnp.where(is_mesh, sm_uv[:, 0], u_tap)
-        v_tap = jnp.where(is_mesh, sm_uv[:, 1], v_tap)
-        tex_tap = jnp.where(is_mesh, jnp.maximum(m_tex, 0), tex_tap)
-
-    # --- the single material tap (strip-packed: 2 row gathers) ---
-    tap = sample_bilinear_strips(atlas, tex_tap, u_tap, v_tap, channels=8)
-    albedo = jnp.where(hit_mask[:, None], tap[:, 0:3], 0.0)
-    roughness = jnp.where(hit_mask, tap[:, 6], 0.0)
-    metallic = jnp.where(hit_mask, tap[:, 7], 0.0)
-
-    if sp_frame is not None:
-        m, nv, tang, bitang = sp_frame
-        nc = tap[:, 3:6]
-        mapped = nc[:, 0:1] * tang + nc[:, 1:2] * bitang + nc[:, 2:3] * nv
-        mapped = mapped / jnp.maximum(
-            jnp.sqrt(jnp.sum(mapped * mapped, -1, keepdims=True)), 1e-20)
-        normal = jnp.where(m[:, None], mapped, normal)
+    normal, uv, albedo, roughness, metallic, transparency = _shade_attrs(
+        world, point, pidx, src_best, hit_mask)
 
     ior = jnp.full((n,), LEGACY_IOR, jnp.float32)
     absorptivity = jnp.full((n,), LEGACY_ABSORPTIVITY, jnp.float32)

@@ -53,3 +53,26 @@ def time_fn(f, *args, iters: int = 3, warmup: int = 1):
     _force(out)
     dt = (time.time() - t0 - readback) / iters
     return max(dt, 1e-9), out
+
+
+def time_fn_async(f, *args, iters: int = 32, warmup: int = 2):
+    """Micro-kernel timing for the tunneled runtime.
+
+    ``time_fn``'s readback-latency subtraction is the right tool for
+    multi-second renders (the constant is <2% of the measurement), but for
+    sub-10 ms kernels the tunnel's readback estimate varies by more than
+    the kernel cost itself — measured reading 0.00 ms for a 9 ms traversal
+    (scripts/profile_timecheck.py). This variant queues ``iters`` async
+    dispatches back-to-back (device executes them serially) and forces once:
+    the single readback constant amortizes to noise at iters >= 32.
+    Always prefer this for anything under ~100 ms.
+    """
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = f(*args)
+        _force(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = f(*args)
+    _force(out)
+    return (time.time() - t0) / iters, out

@@ -486,3 +486,41 @@ def test_sphere_scan_matches_lockstep_legacy_semantics(np_rng):
     assert np.array_equal(hit0, np.isfinite(t1))
     np.testing.assert_allclose(t0[hit0], t1[hit0], rtol=1e-5, atol=1e-5)
     assert np.array_equal(np.asarray(p0)[hit0], np.asarray(p1)[hit0])
+
+
+def test_shade_attrs_compaction_matches_direct():
+    """The hit-lane compaction in _shade_attrs (sort -> prefix block ->
+    unsort) must be value-identical to running _attrs_block full-width, for
+    every prefix branch AND the full fallback."""
+    from learn_path_tracing_tpu.scene.legacy_world import (
+        _attrs_block, _shade_attrs)
+
+    import jax
+
+    world = _built_world()
+    wd = world.device()
+    n = 8192   # >= the 4096 compaction threshold; prefixes = {512, 2048}
+    rng_ = np.random.default_rng(7)
+
+    def check(hit_frac):
+        hit = jnp.asarray(rng_.random(n) < hit_frac)
+        point = jnp.asarray(rng_.normal(size=(n, 3)).astype(np.float32))
+        tcount = int(wd.tri_attr.shape[0])
+        pidx = jnp.asarray(rng_.integers(0, tcount, n).astype(np.int32))
+        # src: 0 = sphere, 1 = mesh for hit lanes; -1 for misses
+        src = jnp.asarray(rng_.integers(0, 2, n).astype(np.int32))
+        src = jnp.where(hit, src, -1)
+        pidx = jnp.where(hit, pidx, 0)
+        # sphere lanes must index real spheres
+        scount = int(wd.spheres.center.shape[0])
+        pidx = jnp.where((src == 0) & hit, pidx % scount, pidx)
+        direct = jax.jit(_attrs_block)(wd, point, pidx, src, hit)
+        compact = jax.jit(_shade_attrs)(wd, point, pidx, src, hit)
+        for d, c in zip(direct, compact):
+            # jit fusion differences allow ~1 ulp; values must otherwise match
+            np.testing.assert_allclose(np.asarray(d), np.asarray(c),
+                                       rtol=3e-7, atol=3e-7)
+
+    check(0.02)    # first prefix (n/16)
+    check(0.15)    # second prefix (n/4)
+    check(0.80)    # full fallback
