@@ -52,13 +52,14 @@ POOL_FLOOR = 57600
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
                                    "engine", "pool_mult", "pool_div",
-                                   "drain_ratio", "stats"))
+                                   "drain_ratio", "drain_floor", "stats"))
 def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
                       hit_backend: str = "auto", engine: str = "auto",
                       pool_mult: int = 0, pool_div: int = 0,
-                      drain_ratio: int = 8, stats: bool = False):
+                      drain_ratio: int = 8, drain_floor: int = 0,
+                      stats: bool = False):
     """Returns (image f32[W,H,3], segments f32). Same sample values as
     wavefront.render; per-pixel sum order differs (~1 ulp).
 
@@ -83,7 +84,7 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     out = _persistent_core(
         world_data, cam, resolution, n, 0, 0, spp, limit, seed, bsdf,
         camera_model, scene, hit_backend, pool_mult, pool_div, drain_ratio,
-        stats)
+        drain_floor, stats)
     if stats:
         acc_flat, segments, st = out
         return (acc_flat / spp).reshape(w, h, 3), segments, st
@@ -95,7 +96,8 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
                      pixel_base, sample_base, spp: int, limit: int, seed,
                      bsdf: str, camera_model: str, scene: str,
                      hit_backend: str, pool_mult: int, pool_div: int,
-                     drain_ratio: int, stats: bool):
+                     drain_ratio: int, drain_floor: int = 0,
+                     stats: bool = False):
     """Persistent render over a pixel range and sample range.
 
     Traces samples ``[sample_base, sample_base + spp)`` of pixels
@@ -284,10 +286,21 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
     def _round256(v):
         return -(-v // 256) * 256
 
+    # drain_floor: narrowest level the cascade may reach. For packet BVH
+    # traversal a narrow incoherent pass still walks ~the whole tree (drain
+    # passes averaged ~6 ms vs 2.58 ms full-width on Yoimiya), so raising
+    # the floor looked promising — but the end-to-end sweep refutes it:
+    # floor 256 = 11.25 Mrays/s, 1024 = 10.82, 4096 = 10.52, no drain =
+    # 10.29 (scripts/sweep_drain_floor.py, v5e 2026-08-18). Fewer full-width
+    # passes (338 vs 453) outweigh the expensive tail, so the deep cascade
+    # stays the default everywhere.
+    if drain_floor <= 0:
+        drain_floor = 256
     _ratio = drain_ratio  # 8 measured best on v5e (4 worse; see BASELINE.md)
     levels = []
     lw = _round256(pool // _ratio)
-    while matmul_acc and lw >= 256 and lw < (levels[-1] if levels else pool):
+    while (matmul_acc and lw >= drain_floor
+           and lw < (levels[-1] if levels else pool)):
         levels.append(lw)
         lw = _round256(lw // _ratio)
 
