@@ -41,7 +41,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from learn_path_tracing_tpu.ops.sphere_scan import intersect_spheres_pallas
-    from learn_path_tracing_tpu.utils.benchlib import time_fn
+    from learn_path_tracing_tpu.utils.benchlib import time_fn_async
 
     n, s = args.pool, args.spheres
     key = jax.random.PRNGKey(0)
@@ -59,7 +59,7 @@ def main():
     def scan(ro_):
         return intersect_spheres_pallas(ro_, rd, centers, radii, transp)[0]
 
-    dt, _ = time_fn(scan, ro, iters=5)
+    dt, _ = time_fn_async(scan, ro, iters=64)
     # per (ray, sphere): 3 sub + 2 fma-ish dot accum x2 + quadratic ~ 16 flop
     flops = 16.0 * n * s
     rows["sphere_scan"] = {
@@ -85,7 +85,7 @@ def main():
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-    dt, _ = time_fn(accum, acc0, k, c, iters=5)
+    dt, _ = time_fn_async(accum, acc0, k, c, iters=32)
     macs = float(groups) * spp * items * 3
     onehot_bytes = float(groups) * spp * items * 4
     rows["onehot_accumulate"] = {
@@ -103,7 +103,7 @@ def main():
     def gather(i):
         return jnp.take(table, i, axis=0)
 
-    dt, _ = time_fn(gather, idx, iters=5)
+    dt, _ = time_fn_async(gather, idx, iters=32)
     rows["row_gather"] = {
         "time_ms": dt * 1e3, "grows_per_s": n / dt / 1e9,
         "gbps": n * 32 * 4 / dt / 1e9,

@@ -25,16 +25,26 @@ def load_world(path=YOIMIYA, cache=True):
     from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
     from learn_path_tracing_tpu.stages.legacy_common import make_asset_path_map
 
-    import subprocess
+    import hashlib
 
     tag = os.path.basename(path).replace("/", "_")
-    try:
-        rev = subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.dirname(__file__)),
-             "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, timeout=10).stdout.strip() or "x"
-    except Exception:
-        rev = "x"
+    # Key on the CONTENT of the sources that shape built world data, not the
+    # git rev — a rev key invalidates on every commit, forcing minutes-long
+    # SAH rebuilds for commits that never touched the builder.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "learn_path_tracing_tpu")
+    h = hashlib.sha256()
+    deps = []
+    for sub in ("accel", "io", "geometry"):
+        d = os.path.join(pkg, sub)
+        deps += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".py")]
+    deps += [os.path.join(pkg, "scene", "legacy_world.py"),
+             os.path.join(pkg, "ops", "packet_traverse.py")]
+    for f in deps:
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    rev = h.hexdigest()[:12]
     cpath = (f"/tmp/lpt_worldcache-{tag}-{int(os.path.getmtime(path))}"
              f"-{rev}.pkl")
     if cache and os.path.exists(cpath):
