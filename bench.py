@@ -91,6 +91,11 @@ def main():
         scene_kind, bsdf = "legacy", "legacy"
         metric = "bvh_mrays_per_sec_chip_yoimiya"
 
+    # The legacy camera has no lens (aperture=0, focal=1): use the 'jitter'
+    # model, bit-identical to degenerate thinlens (tests/test_camera.py) but
+    # skips the disk sample + second RNG hash on every regen pass.
+    cam_model = "jitter" if scene_kind == "legacy" else "thinlens"
+
     if args.time1024:
         import jax
         import jax.numpy as jnp
@@ -104,7 +109,8 @@ def main():
             # (the stages/common.run_path_traced chunking pattern)
             return render_persistent(
                 wd, cp, res, spp=chunk, limit=args.limit, seed=seed,
-                bsdf=bsdf, scene=scene_kind, hit_backend=args.hit_backend)
+                bsdf=bsdf, camera_model=cam_model, scene=scene_kind,
+                hit_backend=args.hit_backend)
 
         # warm-up compile + transfer path (block_until_ready can return
         # early on the tunneled runtime; a scalar readback is the only true
@@ -136,7 +142,8 @@ def main():
 
     def run(seed):
         return render_persistent(wd, cp, res, spp=args.spp, limit=args.limit,
-                                 seed=seed, bsdf=bsdf, scene=scene_kind,
+                                 seed=seed, bsdf=bsdf, camera_model=cam_model,
+                                 scene=scene_kind,
                                  hit_backend=args.hit_backend,
                                  pool_mult=args.pool_mult,
                                  pool_div=args.pool_div)

@@ -96,6 +96,22 @@ def generate_rays_for_pixels(params: CameraParams, resolution, pixel_ids,
             + dv[:, None] * height_axis[None, :]
         )
         ro = jnp.broadcast_to(params.position[None, :], (n, 3))
+    elif model == "jitter":
+        # Jittered pinhole — the legacy line's camera (12_free_view.py:
+        # 216-240 has no lens). BIT-identical to 'thinlens' with
+        # aperture=0, focal_length=1 (origin is exactly 0 there and the
+        # same u0/u1 counters are drawn), but skips the second RNG hash
+        # and the disk sample — regen runs every persistent pass, so this
+        # is on the mesh bench's hot path.
+        b = rng.base(rng.stream(seed, sample, 0, rng.STREAM_CAMERA), pix)
+        u0, u1 = rng.uniform2(b, 0)
+        du = ((fi + u0) / w - 0.5) * view_width
+        dv = ((fj + u1) / h - 0.5) * view_height
+        rd = sp.normalize(
+            direction[None, :] + du[:, None] * width_axis[None, :]
+            + dv[:, None] * height_axis[None, :]
+        )
+        ro = jnp.broadcast_to(params.position[None, :], (n, 3))
     elif model == "thinlens":
         b = rng.base(rng.stream(seed, sample, 0, rng.STREAM_CAMERA), pix)
         u0, u1 = rng.uniform2(b, 0)

@@ -92,6 +92,21 @@ def test_thinlens_aperture_spreads_origins_and_focal_plane_converges():
     assert np.abs(p1 - p0).max() < 1e-4
 
 
+def test_jitter_model_bit_identical_to_degenerate_thinlens():
+    """model='jitter' must be BIT-identical to thinlens with aperture=0,
+    focal=1 (it skips the disk sample but draws the same u0/u1 counters) —
+    it is substituted on the legacy hot path, so any drift is a silent
+    golden break."""
+    cam = Camera((17, 9), fov=42.0, focal_length=1.0, aperture=0.0)
+    cam.set_position((1.0, 2.0, 3.0))
+    cam.look_at((0.0, 0.5, -4.0))
+    for seed, sample in ((0, 0), (3, 7), (11, 200)):
+        a = cam.get_rays(seed=seed, sample=sample, model="thinlens")
+        b = cam.get_rays(seed=seed, sample=sample, model="jitter")
+        assert np.array_equal(np.asarray(a.ro), np.asarray(b.ro))
+        assert np.array_equal(np.asarray(a.rd), np.asarray(b.rd))
+
+
 def test_jitter_deterministic_per_sample():
     cam = Camera((8, 8))
     a = np.asarray(cam.get_rays(seed=3, sample=4).rd)
