@@ -512,7 +512,7 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
     iters_ref[0, :] = jnp.full((b,), out[-1], jnp.int32)
 
 
-def _treelet_entry_key(nodes, entries, ro, rd):
+def _treelet_entry_key(nodes, entries, ro, rd, eps: float = 0.0):
     """Sort key = the two nearest depth-2 subtrees ("treelets") each ray
     actually ENTERS, found by dense slab tests against the <=64 grandchild
     AABBs of the root — no gathers, pure [N,64] VPU math.
@@ -547,7 +547,10 @@ def _treelet_entry_key(nodes, entries, ro, rd):
     tb = (hi[None, :, :] - ro[:, None, :]) * inv[:, None, :]
     t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)                   # [N,64]
     t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
-    entered = (t1 > t0) & (t1 > 0.0)
+    # eps-relaxed like the kernel's child test, so "hit ⟹ entered" holds
+    # exactly (degenerate flat boxes have t1 == t0) — packet_traverse_sorted
+    # relies on entered lanes being a superset of hit lanes
+    entered = (t1 > t0 - eps) & (t1 > 0.0)
     tmin = jnp.where(entered, jnp.maximum(t0, 0.0), jnp.inf)
     m1 = jnp.argmin(tmin, axis=1).astype(jnp.int32)              # [N]
     t_m1 = jnp.min(tmin, axis=1)
@@ -562,7 +565,8 @@ def _treelet_entry_key(nodes, entries, ro, rd):
                      jnp.int32((WIDTH * WIDTH + 1) ** 2))
 
 
-def _coherence_key(nodes, entries, ro, rd, kind: str = "treelet"):
+def _coherence_key(nodes, entries, ro, rd, kind: str = "treelet",
+                   eps: float = 0.0):
     """Sort key grouping rays by origin cell over the root AABB and
     direction octant, so packet blocks traverse small node unions. Bounce
     wavefronts are incoherent in lane order; unsorted, every 512-lane block
@@ -603,7 +607,8 @@ def _coherence_key(nodes, entries, ro, rd, kind: str = "treelet"):
     if kind == "morton":
         return morton
     # treelet-major (13 bits) + morton tie-break (18 bits) = 31 bits, fits i32
-    return _treelet_entry_key(nodes, entries, ro, rd) * (1 << 18) + morton
+    return (_treelet_entry_key(nodes, entries, ro, rd, eps=eps) * (1 << 18)
+            + morton)
 
 
 def _coherence_order(nodes, entries, ro, rd, kind: str = "treelet"):
@@ -647,6 +652,144 @@ def _sort_inv(order_idx, t, prim):
     element takes it replaces (profile_sortpath.py)."""
     _, t_out, p_out = jax.lax.sort((order_idx, t, prim), num_keys=1)
     return t_out, p_out
+
+
+def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
+                 interpret: bool, version: int = 2, nstacks: int = 1):
+    """Invoke the packet kernel on pre-packed ray rows ``f32[8, n_pad]``.
+
+    Shared by ``packet_traverse`` (lane-order API) and
+    ``packet_traverse_sorted`` (fused-shading API). Returns
+    ``(t f32[1,n_pad], prim i32[1,n_pad], iters i32[1,n_pad])``.
+    """
+    n_pad = rays_rows.shape[1]
+    m = nodes.shape[0]
+    if RAY_BLOCK % nstacks:
+        raise ValueError(f"nstacks={nstacks} must divide block {RAY_BLOCK}")
+    # Shared-stack capacity: each pushed level adds <= 8 entries; the wide
+    # tree depth is not carried on WideBVH here, so bound by a generous
+    # constant (64 levels of 8) — overflow is impossible below that depth.
+    cap = 8 * 64 + 8
+    max_iters = 16 * m + 64  # hard termination backstop
+
+    grid = (n_pad // RAY_BLOCK,)
+    if version == 2:
+        kern = functools.partial(_kernel_v2, eps=eps, max_iters=max_iters,
+                                 cap=cap, nstacks=nstacks)
+        scratch = [
+            pltpu.SMEM((cap * nstacks,), jnp.int32),
+            pltpu.SMEM((cap * nstacks,), jnp.float32),
+            pltpu.SMEM((nstacks,), jnp.int32),
+            pltpu.SMEM((nstacks,), jnp.float32),  # cap_ref
+        ]
+    else:
+        if nstacks != 1:
+            raise ValueError("nstacks > 1 requires version=2")
+        kern = functools.partial(_kernel, eps=eps, max_iters=max_iters,
+                                 cap=cap)
+        scratch = [
+            pltpu.SMEM((cap,), jnp.int32),
+            pltpu.SMEM((cap,), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ]
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nodes.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((entries.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((runs.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(nodes, entries, runs, rays_rows)
+
+
+# Treelet-key sentinels (see _treelet_entry_key/_coherence_key): lanes that
+# enter no depth-2 treelet get major key (65)^2; fused traversal additionally
+# parks INACTIVE lanes one slot past that, so in sorted order
+# [entered... | enters-nothing... | inactive...] and "entered" is a prefix.
+_TREELET_NONE = (WIDTH * WIDTH + 1) ** 2
+_KEY_ENTERED_LIM = _TREELET_NONE << 18
+_KEY_INACTIVE = (_TREELET_NONE + 1) << 18
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_key"))
+def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
+                           eps: float = 1e-4, interpret: bool = False,
+                           sort_key: str = "treelet"):
+    """Coherence-sorted traversal for FUSED hit shading (single-structure
+    worlds; t_init is implicitly +inf — no cross-structure seeding).
+
+    The lane-order API (``packet_traverse``) pays two extra sorts per pass
+    when the caller then hit-compacts attribute shading (an unsort here plus
+    a re-sort there). On this TPU runtime per-pass cost is dominated by
+    kernel-launch count (BASELINE.md round-3), so this variant instead
+    returns everything in SORTED order and lets the caller run attribute
+    shading on the sorted prefix and restore lane order with ONE final
+    multi-payload sort:
+
+    - lanes are sorted by the treelet coherence key with inactive lanes
+      keyed past the "enters-no-treelet" sentinel;
+    - a lane can only hit the mesh if it enters >= 1 depth-2 treelet (the
+      key's slab test uses the same eps-relaxed semantics as the kernel),
+      so hits ⊆ entered = a PREFIX of the sorted order whose length bounds
+      the attribute-gather work.
+
+    Returns ``(t_s, prim_s, ro_s, rd_s, entered_n, order_idx)``: ``t_s`` is
+    +inf where unbeaten, ``entered_n`` i32 = sorted lanes entering any
+    treelet, ``order_idx[i]`` = original lane id of sorted slot ``i``.
+    """
+    if sort_key != "treelet":
+        # the entered-prefix property (hits ⊆ first entered_n sorted lanes)
+        # only holds for the treelet-major key
+        raise ValueError("packet_traverse_sorted requires sort_key='treelet'")
+    n = ro.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    key = _coherence_key(nodes, entries, ro, rd, sort_key, eps=eps)
+    key = jnp.where(active, key, jnp.int32(_KEY_INACTIVE))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ops = jax.lax.sort(
+        (key, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+         idx), num_keys=1)
+    key_s, order_idx = ops[0], ops[7]
+    ro_s = jnp.stack(ops[1:4], axis=1)
+    rd_s = jnp.stack(ops[4:7], axis=1)
+    # active/t_init are reconstructed from the key — no sort payload needed
+    active_s = key_s < jnp.int32(_KEY_INACTIVE)
+    entered_n = jnp.sum((key_s < jnp.int32(_KEY_ENTERED_LIM))
+                        .astype(jnp.int32))
+    t_enc = jnp.where(active_s, jnp.inf, -jnp.inf)
+
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[_RO:_RO + 3, :n].set(ro_s.T)
+    rays = rays.at[_RD:_RD + 3, :n].set(rd_s.T)
+    rays = rays.at[_TINIT, :n].set(t_enc)
+    rays = rays.at[_TINIT, n:].set(-jnp.inf)   # padding lanes: inert
+    rays = rays.at[_ACTIVE, :n].set(active_s.astype(jnp.float32))
+
+    t, prim, _ = _kernel_call(nodes, entries, runs, rays, eps, interpret)
+    prim_s = prim[0, :n]
+    t_s = jnp.where(prim_s >= 0, t[0, :n], jnp.inf)
+    return t_s, prim_s, ro_s, rd_s, entered_n, order_idx
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",
@@ -698,61 +841,8 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     rays = rays.at[:, :n].set(packed.T)
     rays = rays.at[_TINIT, n:].set(-jnp.inf)   # padding lanes: inert
 
-    # Shared-stack capacity: each pushed level adds <= 8 entries; the wide
-    # tree depth is not carried on WideBVH here, so bound by a generous
-    # constant (64 levels of 8) — overflow is impossible below that depth.
-    cap = 8 * 64 + 8
-    max_iters = 16 * m + 64  # hard termination backstop
-
-    grid = (n_pad // RAY_BLOCK,)
-    if version == 2:
-        kern = functools.partial(_kernel_v2, eps=eps, max_iters=max_iters,
-                                 cap=cap, nstacks=nstacks)
-        scratch = [
-            pltpu.SMEM((cap * nstacks,), jnp.int32),
-            pltpu.SMEM((cap * nstacks,), jnp.float32),
-            pltpu.SMEM((nstacks,), jnp.int32),
-            pltpu.SMEM((nstacks,), jnp.float32),  # cap_ref
-        ]
-    else:
-        if nstacks != 1:
-            raise ValueError("nstacks > 1 requires version=2")
-        kern = functools.partial(_kernel, eps=eps, max_iters=max_iters,
-                                 cap=cap)
-        scratch = [
-            pltpu.SMEM((cap,), jnp.int32),
-            pltpu.SMEM((cap,), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-        ]
-    t, prim, iters = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nodes.shape[0], 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((entries.shape[0], 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((runs.shape[0], 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-        ],
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(nodes, entries, runs, rays)
+    t, prim, iters = _kernel_call(nodes, entries, runs, rays, eps, interpret,
+                                  version=version, nstacks=nstacks)
     if with_stats:
         t_out = jnp.where(active, t[0, :n], t_init)
         return t_out, prim[0, :n], iters[0, ::RAY_BLOCK]

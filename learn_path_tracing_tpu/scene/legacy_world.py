@@ -44,6 +44,12 @@ EPSILON = 1e-4
 LEGACY_IOR = 1.5
 LEGACY_ABSORPTIVITY = 0.25
 
+# Tests only: force hit_legacy's accelerator code paths (Pallas sphere scan,
+# packet traversal, fused single-mesh path) on CPU via interpret mode, so
+# kernel-path semantics are testable without a TPU (monkeypatched by
+# tests/test_legacy.py).
+_FORCE_ACCEL_INTERPRET = False
+
 
 @pytree_dataclass
 class MeshDeviceData:
@@ -519,6 +525,50 @@ def _attrs_block(world: LegacyWorldData, point, pidx, src_best, hit_mask):
     return normal, uv, albedo, roughness, metallic, transparency
 
 
+def _attrs_switch(world: LegacyWorldData, point, pidx, src_best, hit_mask,
+                  count):
+    """_attrs_block on the narrowest static prefix covering ``count`` lanes.
+
+    Callers must arrange that all lanes needing real attributes sit in the
+    first ``count`` rows (hit-compacted order in _shade_attrs; treelet-
+    entered sorted order in the fused hit path). Prefix widths are static
+    {n/16, n/4, n}; ``lax.switch`` picks the narrowest that fits, so the
+    row-count-bound gathers (tri-attr row + atlas pair row) scale with the
+    prefix, and a close-up view falls back to the exact full-width path.
+    """
+    from jax import lax
+
+    n = hit_mask.shape[0]
+
+    def _r256(v):
+        return -(-v // 256) * 256
+
+    prefixes = sorted({w for w in (_r256(n // 16), _r256(n // 4))
+                       if 0 < w < n})
+    if not prefixes:
+        return _attrs_block(world, point, pidx, src_best, hit_mask)
+
+    def make_branch(kw: int | None):
+        def branch(spoint, spidx, ssrc, shit):
+            if kw is None:
+                return _attrs_block(world, spoint, spidx, ssrc, shit)
+            outs = _attrs_block(world, spoint[:kw], spidx[:kw], ssrc[:kw],
+                                shit[:kw])
+            pad_nrm = jnp.zeros((n - kw, 3), jnp.float32).at[:, 2].set(1.0)
+            pads = (pad_nrm, jnp.zeros((n - kw, 2), jnp.float32),
+                    jnp.zeros((n - kw, 3), jnp.float32),
+                    jnp.zeros((n - kw,), jnp.float32),
+                    jnp.zeros((n - kw,), jnp.float32),
+                    jnp.zeros((n - kw,), jnp.float32))
+            return tuple(jnp.concatenate([o, p], axis=0)
+                         for o, p in zip(outs, pads))
+        return branch
+
+    branches = [make_branch(kw) for kw in prefixes] + [make_branch(None)]
+    bindex = sum((count > jnp.int32(kw)).astype(jnp.int32) for kw in prefixes)
+    return lax.switch(bindex, branches, point, pidx, src_best, hit_mask)
+
+
 def _shade_attrs(world: LegacyWorldData, point, pidx, src_best, hit_mask):
     """_attrs_block, compacted to the lanes that actually hit.
 
@@ -560,26 +610,8 @@ def _shade_attrs(world: LegacyWorldData, point, pidx, src_best, hit_mask):
     count = jnp.sum(hit_mask.astype(jnp.int32))
     shit = idx < count   # sorted order: exactly the first `count` lanes hit
 
-    def make_branch(kw: int | None):
-        def branch(spoint, spidx, ssrc, shit):
-            if kw is None:
-                return _attrs_block(world, spoint, spidx, ssrc, shit)
-            outs = _attrs_block(world, spoint[:kw], spidx[:kw], ssrc[:kw],
-                                shit[:kw])
-            pad_nrm = jnp.zeros((n - kw, 3), jnp.float32).at[:, 2].set(1.0)
-            pads = (pad_nrm, jnp.zeros((n - kw, 2), jnp.float32),
-                    jnp.zeros((n - kw, 3), jnp.float32),
-                    jnp.zeros((n - kw,), jnp.float32),
-                    jnp.zeros((n - kw,), jnp.float32),
-                    jnp.zeros((n - kw,), jnp.float32))
-            return tuple(jnp.concatenate([o, p], axis=0)
-                         for o, p in zip(outs, pads))
-        return branch
-
-    branches = [make_branch(kw) for kw in prefixes] + [make_branch(None)]
-    bindex = sum((count > jnp.int32(kw)).astype(jnp.int32) for kw in prefixes)
-    nrm, suv, alb, rgh, met, tra = lax.switch(
-        bindex, branches, spoint, spidx, ssrc, shit)
+    nrm, suv, alb, rgh, met, tra = _attrs_switch(
+        world, spoint, spidx, ssrc, shit, count)
 
     # restore lane order: sort by the carried original index (a permutation,
     # exact). 12 operands, one pass.
@@ -588,6 +620,74 @@ def _shade_attrs(world: LegacyWorldData, point, pidx, src_best, hit_mask):
          alb[:, 0], alb[:, 1], alb[:, 2], rgh, met, tra), num_keys=1)
     return (jnp.stack([n0, n1, n2], -1), jnp.stack([u0, u1], -1),
             jnp.stack([a0, a1, a2], -1), rgho, meto, trao)
+
+
+def _assemble_hits(world: LegacyWorldData, rays: Rays, t_best, prim_best,
+                   hit_mask, normal, uv, albedo, roughness, metallic,
+                   transparency) -> Hits:
+    """Shared hit-record tail: legacy constants + back-face handling
+    (propagate_once, 15_module.py:985-988): flip normal, invert ior, zero
+    absorptivity."""
+    n = rays.count
+    t_safe = jnp.where(hit_mask, t_best, 0.0)
+    point = rays.ro + t_safe[:, None] * rays.rd
+    ior = jnp.full((n,), LEGACY_IOR, jnp.float32)
+    absorptivity = jnp.full((n,), LEGACY_ABSORPTIVITY, jnp.float32)
+    backface = (jnp.sum(rays.rd * normal, axis=-1) > 0.0) & hit_mask
+    normal = jnp.where(backface[:, None], -normal, normal)
+    ior = jnp.where(backface, 1.0 / ior, ior)
+    absorptivity = jnp.where(backface, 0.0, absorptivity)
+    mat = Materials(albedo=albedo, roughness=roughness, metallic=metallic,
+                    ior=ior, transparency=transparency,
+                    absorptivity=absorptivity)
+    return Hits(t=t_best, point=point, normal=normal, uv=uv,
+                obj=jnp.where(hit_mask, prim_best, -1), hit=hit_mask,
+                material=mat)
+
+
+def _hit_legacy_fused(world: LegacyWorldData, rays: Rays,
+                      eps: float = EPSILON, interpret: bool = False) -> Hits:
+    """Single-mesh fast path: ONE coherence sort, attributes computed in
+    sorted order on the treelet-entered prefix, ONE restoring sort.
+
+    Per-pass cost on the tunneled TPU runtime is dominated by kernel-launch
+    count, and the composed path (packet_traverse's sort+unsort followed by
+    _shade_attrs' compact+restore sorts) launches 5 multi-operand sorts per
+    bounce. This path launches 2: lanes are traversed AND shaded in
+    coherence-sorted order — every lane that can hit the mesh enters >= 1
+    depth-2 treelet, so the attrs prefix bound comes free from the sort key
+    (packet_traverse_sorted) — and one final 14-operand sort restores lane
+    order for t/prim/attrs together. Results are bitwise identical to the
+    composed path (same kernel, same attrs math, permutation-exact sorts).
+    """
+    from ..ops.packet_traverse import packet_traverse_sorted
+
+    mesh = world.meshes[0]
+    nodes, entries, runs = mesh.packet
+    t_s, prim_s, ro_s, rd_s, entered_n, order_idx = packet_traverse_sorted(
+        nodes, entries, runs, rays.ro, rays.rd, rays.alive, eps=eps,
+        interpret=interpret)
+    hit_s = prim_s >= 0
+    t_safe_s = jnp.where(hit_s, t_s, 0.0)
+    point_s = ro_s + t_safe_s[:, None] * rd_s
+    pidx_s = jnp.maximum(prim_s, 0)
+    src_s = jnp.where(hit_s, 1, -1)
+    nrm, suv, alb, rgh, met, tra = _attrs_switch(
+        world, point_s, pidx_s, src_s, hit_s, entered_n)
+
+    # single restoring sort: order_idx is a permutation, so this is exact
+    import jax
+
+    (_, t, prim, n0, n1, n2, u0, u1, a0, a1, a2, rgho, meto, trao) = \
+        jax.lax.sort(
+            (order_idx, t_s, prim_s, nrm[:, 0], nrm[:, 1], nrm[:, 2],
+             suv[:, 0], suv[:, 1], alb[:, 0], alb[:, 1], alb[:, 2],
+             rgh, met, tra), num_keys=1)
+    hit_mask = prim >= 0
+    return _assemble_hits(world, rays, jnp.where(hit_mask, t, jnp.inf), prim,
+                          hit_mask, jnp.stack([n0, n1, n2], -1),
+                          jnp.stack([u0, u1], -1),
+                          jnp.stack([a0, a1, a2], -1), rgho, meto, trao)
 
 
 def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits:
@@ -609,7 +709,18 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
     # than the native XLA formulation).
     import jax
 
-    on_accel = jax.default_backend() != "cpu"
+    interp = _FORCE_ACCEL_INTERPRET
+    on_accel = jax.default_backend() != "cpu" or interp
+
+    if (on_accel and not interp and world.spheres is None
+            and len(world.meshes) == 1
+            and world.meshes[0].packet is not None and n >= 4096):
+        # single-mesh worlds (all 4 character scenes + the flagship render)
+        # take the 2-sort fused path — see _hit_legacy_fused. Below 4096
+        # lanes (drain-cascade tails) the composed path is already sort-free
+        # (packet sort engages above RAY_BLOCK, attrs compaction above 4096)
+        # and therefore launches fewer kernels than the fused path would.
+        return _hit_legacy_fused(world, rays, eps=eps)
 
     if world.spheres is not None:
         s = world.spheres
@@ -621,7 +732,8 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
             from ..ops.sphere_scan import intersect_spheres_pallas
 
             t, p = intersect_spheres_pallas(ro, rd, s.center, s.radius,
-                                            s.transparency, t_min=eps)
+                                            s.transparency, t_min=eps,
+                                            interpret=interp)
             t = jnp.where(jnp.isfinite(t), t, jnp.inf)
         else:
             lt = make_sphere_leaf_test(s.center, s.radius, s.transparency,
@@ -648,7 +760,7 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
             nodes, entries, runs = mesh.packet
             t, p = packet_traverse(nodes, entries, runs, ro, rd,
                                    t_init=t_best, active=rays.alive, eps=eps,
-                                   sort_rays=sort_rays)
+                                   sort_rays=sort_rays, interpret=interp)
         elif mesh.wide is not None:
             lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
             t, p = traverse_wide(mesh.wide, ro, rd, lt, eps=eps, t_init=t_best)
@@ -668,22 +780,8 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
     normal, uv, albedo, roughness, metallic, transparency = _shade_attrs(
         world, point, pidx, src_best, hit_mask)
 
-    ior = jnp.full((n,), LEGACY_IOR, jnp.float32)
-    absorptivity = jnp.full((n,), LEGACY_ABSORPTIVITY, jnp.float32)
-
-    # Back-face handling (propagate_once, 15_module.py:985-988): flip normal,
-    # invert ior, zero absorptivity.
-    backface = (jnp.sum(rd * normal, axis=-1) > 0.0) & hit_mask
-    normal = jnp.where(backface[:, None], -normal, normal)
-    ior = jnp.where(backface, 1.0 / ior, ior)
-    absorptivity = jnp.where(backface, 0.0, absorptivity)
-
-    mat = Materials(albedo=albedo, roughness=roughness, metallic=metallic,
-                    ior=ior, transparency=transparency,
-                    absorptivity=absorptivity)
-    return Hits(t=t_best, point=point, normal=normal, uv=uv,
-                obj=jnp.where(hit_mask, prim_best, -1), hit=hit_mask,
-                material=mat)
+    return _assemble_hits(world, rays, t_best, prim_best, hit_mask, normal,
+                          uv, albedo, roughness, metallic, transparency)
 
 
 def environment_color(envs: StripAtlas, env_id, rd, mask=None,
