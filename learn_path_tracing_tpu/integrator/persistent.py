@@ -163,8 +163,14 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
         # list length until per-pass fixed costs dominate below ~50k lanes.
         # Halve while staying >= POOL_FLOOR, then round up to an spp
         # multiple (works for ANY n, e.g. the 3000x2000 flagship render).
+        #
+        # Legacy mesh scenes invert the trade: their pass body carries ~3x
+        # the fixed kernel-launch cost (sorts + packet kernel + atlas
+        # gathers, BASELINE.md round-3), so fewer/wider passes win — the
+        # yoimiya sweep measured 12.18 Mrays/s at pool=n vs 12.11 (n/2) and
+        # 11.98 (n/4 auto); keep the full-width pool there.
         pool = n
-        if matmul_acc:
+        if matmul_acc and scene != "legacy":
             while pool // 2 >= POOL_FLOOR:
                 pool //= 2
             pool = -(-pool // spp) * spp
@@ -201,9 +207,14 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
     rays0 = primary(pix0, samp0)
     rays0 = type(rays0)(ro=rays0.ro, rd=rays0.rd, throughput=rays0.throughput,
                         alive=valid0)
+    live0 = jnp.sum(valid0.astype(jnp.float32))
 
+    # The live-lane count is CARRIED in the loop state (computed inside the
+    # body where it fuses with the alive-mask math) so every while cond is a
+    # scalar compare instead of a fresh full-array reduction — per-pass cost
+    # here is billed by kernel launches, not FLOPs (BASELINE.md round-3).
     def cond(state):
-        return jnp.any(state[0].alive)
+        return state[-1] > 0.0
 
     def accumulate(acc, k, pixel, contrib):
         """Add per-lane contributions to the accumulator.
@@ -227,7 +238,7 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
 
     def step(rays, k, bounce, pixel, sample, item_fn):
         """One bounce pass; shared by the full-width and drain loops.
-        Returns (rays', k', bounce', contrib, live_count)."""
+        Returns (rays', k', bounce', contrib, live_before, live_after)."""
         hits = hit_fn(world_data, rays, hit_backend)
         live = jnp.sum(rays.alive.astype(jnp.float32))
 
@@ -255,15 +266,17 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
         rays = type(rays)(ro=rays.ro, rd=rays.rd, throughput=rays.throughput,
                           alive=alive)
         bounce = jnp.where(survived, bounce + 1, jnp.uint32(0))
-        return rays, next_k, bounce, contrib, live
+        live_after = jnp.sum(alive.astype(jnp.float32))
+        return rays, next_k, bounce, contrib, live, live_after
 
     def body(state):
-        rays, k, bounce, acc, segments, passes = state
+        rays, k, bounce, acc, segments, passes, _ = state
         _, pixel, sample = item_of(k)
-        rays, next_k, bounce, contrib, live = step(
+        rays, next_k, bounce, contrib, live, live_after = step(
             rays, k, bounce, pixel, sample, item_of)
         acc = accumulate(acc, k, pixel, contrib)
-        return rays, next_k, bounce, acc, segments + live, passes + 1.0
+        return (rays, next_k, bounce, acc, segments + live, passes + 1.0,
+                live_after)
 
     acc0 = (jnp.zeros((groups, items_per, 3), jnp.float32) if matmul_acc
             else jnp.zeros((n, 3), jnp.float32))
@@ -274,6 +287,7 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
         acc0,
         jnp.float32(0.0),
         jnp.float32(0.0),   # pass counter (telemetry)
+        live0,              # carried live count (cond reads a scalar)
     )
 
     # Drain compaction: the static item schedule leaves a long straggler
@@ -306,13 +320,11 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
 
     if levels:
         def cond1(state):
-            alive = state[0].alive
-            return jnp.any(alive) & (jnp.sum(alive.astype(jnp.int32))
-                                     > jnp.int32(levels[0]))
+            return state[-1] > jnp.float32(levels[0])
     else:
         cond1 = cond
-    rays, k, bounce, acc, segments, passes_full = jax.lax.while_loop(
-        cond1, body, state0)
+    (rays, k, bounce, acc, segments, passes_full,
+     live_now) = jax.lax.while_loop(cond1, body, state0)
     drain_passes = []
 
     if matmul_acc:
@@ -349,23 +361,21 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
         next_w = levels[li + 1] if li + 1 < len(levels) else 0
 
         def cond_d(state, next_w=next_w):
-            alive = state[0].alive
-            if next_w:
-                return jnp.any(alive) & (jnp.sum(alive.astype(jnp.int32))
-                                         > jnp.int32(next_w))
-            return jnp.any(alive)
+            return state[-1] > jnp.float32(next_w)
 
         def body_d(state, item_of_d=item_of_d, samp_cur=samp_cur):
-            rays, k, bounce, acc, segments, passes = state
+            rays, k, bounce, acc, segments, passes, _ = state
             _, pixel, _ = item_of_d(k)
-            rays, next_k, bounce, contrib, live = step(
+            rays, next_k, bounce, contrib, live, live_after = step(
                 rays, k, bounce, pixel, samp_cur, item_of_d)
             acc = acc.at[pixel].add(contrib)
-            return rays, next_k, bounce, acc, segments + live, passes + 1.0
+            return (rays, next_k, bounce, acc, segments + live, passes + 1.0,
+                    live_after)
 
-        rays, k, bounce, acc_flat, segments, lvl_passes = jax.lax.while_loop(
+        (rays, k, bounce, acc_flat, segments, lvl_passes,
+         live_now) = jax.lax.while_loop(
             cond_d, body_d,
-            (rays, k, bounce, acc_flat, segments, jnp.float32(0.0)))
+            (rays, k, bounce, acc_flat, segments, jnp.float32(0.0), live_now))
         drain_passes.append(lvl_passes)
 
     if stats:

@@ -512,17 +512,14 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
     iters_ref[0, :] = jnp.full((b,), out[-1], jnp.int32)
 
 
-def _treelet_entry_key(nodes, entries, ro, rd, eps: float = 0.0):
-    """Sort key = the two nearest depth-2 subtrees ("treelets") each ray
-    actually ENTERS, found by dense slab tests against the <=64 grandchild
-    AABBs of the root — no gathers, pure [N,64] VPU math.
+def treelet_boxes(nodes, entries):
+    """(lo f32[64,3], hi f32[64,3]) AABBs of the root's depth-2 subtrees.
 
-    The Morton-origin key below is a *proxy* for traversal overlap; this
-    key measures it directly: the packet kernel's node union is exactly
-    the set of subtrees some live lane enters, and ordered traversal +
-    t-capping means the first one or two entered treelets dominate each
-    ray's walk. Rays sharing (nearest, second-nearest) treelet walk nearly
-    identical unions regardless of where their origins sit."""
+    Constant per mesh — call ONCE at scene-build time (concrete arrays) and
+    pass the result through as ``treelets``; rebuilding these boxes inside
+    every jitted pass costs ~25 fused ops of stack/where/reshape churn on a
+    pass body that is billed by kernel count (BASELINE.md round-3).
+    """
     m = nodes.shape[0]
     ent0 = entries[0, 0:WIDTH]                                   # [8]
     crows = jnp.take(nodes, jnp.clip(ent0, 0, m - 1), axis=0)    # [8,128]
@@ -539,9 +536,23 @@ def _treelet_entry_key(nodes, entries, ro, rd, eps: float = 0.0):
                    jnp.where(self_slot[..., None], rlo[:, None, :], jnp.inf))
     hi = jnp.where(is_node[..., None], ghi,
                    jnp.where(self_slot[..., None], rhi[:, None, :], -jnp.inf))
-    lo = lo.reshape(WIDTH * WIDTH, 3)                            # [64,3]
-    hi = hi.reshape(WIDTH * WIDTH, 3)
+    return (lo.reshape(WIDTH * WIDTH, 3), hi.reshape(WIDTH * WIDTH, 3))
 
+
+def _treelet_entry_key(nodes, entries, ro, rd, eps: float = 0.0,
+                       treelets=None):
+    """Sort key = the two nearest depth-2 subtrees ("treelets") each ray
+    actually ENTERS, found by dense slab tests against the <=64 grandchild
+    AABBs of the root — no gathers, pure [N,64] VPU math.
+
+    The Morton-origin key below is a *proxy* for traversal overlap; this
+    key measures it directly: the packet kernel's node union is exactly
+    the set of subtrees some live lane enters, and ordered traversal +
+    t-capping means the first one or two entered treelets dominate each
+    ray's walk. Rays sharing (nearest, second-nearest) treelet walk nearly
+    identical unions regardless of where their origins sit."""
+    lo, hi = treelets if treelets is not None else treelet_boxes(nodes,
+                                                                 entries)
     inv = 1.0 / rd                                               # [N,3]
     ta = (lo[None, :, :] - ro[:, None, :]) * inv[:, None, :]     # [N,64,3]
     tb = (hi[None, :, :] - ro[:, None, :]) * inv[:, None, :]
@@ -566,7 +577,7 @@ def _treelet_entry_key(nodes, entries, ro, rd, eps: float = 0.0):
 
 
 def _coherence_key(nodes, entries, ro, rd, kind: str = "treelet",
-                   eps: float = 0.0):
+                   eps: float = 0.0, treelets=None):
     """Sort key grouping rays by origin cell over the root AABB and
     direction octant, so packet blocks traverse small node unions. Bounce
     wavefronts are incoherent in lane order; unsorted, every 512-lane block
@@ -607,8 +618,8 @@ def _coherence_key(nodes, entries, ro, rd, kind: str = "treelet",
     if kind == "morton":
         return morton
     # treelet-major (13 bits) + morton tie-break (18 bits) = 31 bits, fits i32
-    return (_treelet_entry_key(nodes, entries, ro, rd, eps=eps) * (1 << 18)
-            + morton)
+    return (_treelet_entry_key(nodes, entries, ro, rd, eps=eps,
+                               treelets=treelets) * (1 << 18) + morton)
 
 
 def _coherence_order(nodes, entries, ro, rd, kind: str = "treelet"):
@@ -628,7 +639,7 @@ def _coherence_order(nodes, entries, ro, rd, kind: str = "treelet"):
     return order, jnp.argsort(order)
 
 
-def _sort_fwd(nodes, entries, packed, ro, rd, kind: str):
+def _sort_fwd(nodes, entries, packed, ro, rd, kind: str, treelets=None):
     """Coherence-sort ``packed [N,8]`` by carrying it through lax.sort.
 
     Measured on v5e (scripts/profile_sortpath.py, 230k lanes): element
@@ -638,7 +649,7 @@ def _sort_fwd(nodes, entries, packed, ro, rd, kind: str):
     original lane index per slot (the inverse rides a second sort keyed on
     that index — no inverse permutation or gather is ever built)."""
     n = packed.shape[0]
-    key = _coherence_key(nodes, entries, ro, rd, kind)
+    key = _coherence_key(nodes, entries, ro, rd, kind, treelets=treelets)
     idx = jnp.arange(n, dtype=jnp.int32)
     ops = jax.lax.sort(
         (key,) + tuple(packed[:, j] for j in range(packed.shape[1])) + (idx,),
@@ -735,7 +746,7 @@ _KEY_INACTIVE = (_TREELET_NONE + 1) << 18
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_key"))
 def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
                            eps: float = 1e-4, interpret: bool = False,
-                           sort_key: str = "treelet"):
+                           sort_key: str = "treelet", treelets=None):
     """Coherence-sorted traversal for FUSED hit shading (single-structure
     worlds; t_init is implicitly +inf — no cross-structure seeding).
 
@@ -764,7 +775,8 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
         raise ValueError("packet_traverse_sorted requires sort_key='treelet'")
     n = ro.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    key = _coherence_key(nodes, entries, ro, rd, sort_key, eps=eps)
+    key = _coherence_key(nodes, entries, ro, rd, sort_key, eps=eps,
+                         treelets=treelets)
     key = jnp.where(active, key, jnp.int32(_KEY_INACTIVE))
     idx = jnp.arange(n, dtype=jnp.int32)
     ops = jax.lax.sort(
@@ -799,7 +811,7 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
                     eps: float = 1e-4, interpret: bool = False,
                     sort_rays: bool = True, with_stats: bool = False,
                     sort_key: str = "treelet", version: int = 2,
-                    nstacks: int = 1):
+                    nstacks: int = 1, treelets=None):
     """Nearest-hit packet traversal.
 
     Args: packed tables from ``pack_packet_tables``; ``ro/rd f32[N,3]``;
@@ -829,7 +841,7 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     order_idx = None
     if sort_rays and n > RAY_BLOCK:
         packed, order_idx = _sort_fwd(nodes, entries, packed, ro, rd,
-                                      sort_key)
+                                      sort_key, treelets=treelets)
 
     if with_stats and order_idx is not None:
         # an assert would vanish under `python -O` and the stats path would

@@ -66,6 +66,9 @@ class MeshDeviceData:
     bvh: FlatBVH
     wide: object = None    # WideBVH | None — 8-ary layout for TPU traversal
     packet: tuple | None = None  # (nodes, entries, runs) Pallas packet tables
+    # (lo f32[64,3], hi f32[64,3]) depth-2 treelet AABBs, precomputed at
+    # build time so the per-pass coherence key skips ~25 ops of box churn
+    treelets: tuple | None = None
 
 
 @pytree_dataclass
@@ -100,13 +103,14 @@ class LegacyWorldData:
 
 def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
                  bvh: FlatBVH) -> MeshDeviceData:
-    from ..ops.packet_traverse import pack_packet_tables
+    from ..ops.packet_traverse import pack_packet_tables, treelet_boxes
 
     p = positions[face_p]          # [T,3,3]
     n = normals[face_n]
     t = uvs[face_t]
     j = jnp.asarray
     wide = collapse(bvh)
+    packet = pack_packet_tables(wide, p[:, 0], p[:, 1], p[:, 2])
     return MeshDeviceData(
         v0=j(p[:, 0]), v1=j(p[:, 1]), v2=j(p[:, 2]),
         n0=j(n[:, 0]), n1=j(n[:, 1]), n2=j(n[:, 2]),
@@ -114,7 +118,8 @@ def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
         tex=j(face_tex.astype(np.int32)),
         bvh=bvh,
         wide=wide,
-        packet=pack_packet_tables(wide, p[:, 0], p[:, 1], p[:, 2]),
+        packet=packet,
+        treelets=treelet_boxes(packet[0], packet[1]),
     )
 
 
@@ -666,7 +671,7 @@ def _hit_legacy_fused(world: LegacyWorldData, rays: Rays,
     nodes, entries, runs = mesh.packet
     t_s, prim_s, ro_s, rd_s, entered_n, order_idx = packet_traverse_sorted(
         nodes, entries, runs, rays.ro, rays.rd, rays.alive, eps=eps,
-        interpret=interpret)
+        interpret=interpret, treelets=mesh.treelets)
     hit_s = prim_s >= 0
     t_safe_s = jnp.where(hit_s, t_s, 0.0)
     point_s = ro_s + t_safe_s[:, None] * rd_s
@@ -760,7 +765,8 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
             nodes, entries, runs = mesh.packet
             t, p = packet_traverse(nodes, entries, runs, ro, rd,
                                    t_init=t_best, active=rays.alive, eps=eps,
-                                   sort_rays=sort_rays, interpret=interp)
+                                   sort_rays=sort_rays, interpret=interp,
+                                   treelets=mesh.treelets)
         elif mesh.wide is not None:
             lt = make_triangle_leaf_test(mesh.v0, mesh.v1, mesh.v2, eps=eps)
             t, p = traverse_wide(mesh.wide, ro, rd, lt, eps=eps, t_init=t_best)

@@ -50,12 +50,6 @@ def main():
     timed("u32 div+mod 360",
           lambda i, x: (x + i.astype(jnp.uint32)) // 360
           + (x + i.astype(jnp.uint32)) % 360, xu)
-    timed("f32 recip-div 360",
-          lambda i, x: (
-              lambda p: (
-                  lambda q: (q * 360.0 + (p - q * 360.0))
-              )(jnp.floor(p * (1.0 / 360.0)))
-          )(x.astype(jnp.float32) + i.astype(jnp.float32)), xu)
     timed("asin", lambda i, x: jnp.arcsin(
         jnp.clip(x + 1e-12 * i.astype(jnp.float32), -1.0, 1.0)), xf)
     timed("atan2", lambda i, x: jnp.arctan2(
