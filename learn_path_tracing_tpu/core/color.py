@@ -9,23 +9,29 @@ XLA ops over ``f32[..., 3]`` images.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_ACES_INPUT = jnp.array(
+# numpy (NOT jnp) on purpose: a module-level jnp.array initializes the
+# default JAX backend at import time — on a machine whose default platform
+# is a remote-TPU tunnel, that blocks every CLI (including --platform cpu
+# subprocesses) on the tunnel handshake before the platform override can
+# run. Constants fold into the jitted graphs identically either way.
+_ACES_INPUT = np.array(
     [
         [0.59719, 0.35458, 0.04823],
         [0.07600, 0.90834, 0.01566],
         [0.02840, 0.13383, 0.83777],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
-_ACES_OUTPUT = jnp.array(
+_ACES_OUTPUT = np.array(
     [
         [1.60475, -0.53108, -0.07367],
         [-0.10208, 1.10813, -0.00605],
         [-0.00327, -0.07276, 1.07602],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
+# plain float, not jnp.float32: a module-level jnp constant would
+# initialize the default backend at import time (see core/color.py)
+INF = float("inf")
 T_MIN = 1e-4
 
 

@@ -176,14 +176,18 @@ def _encode_png(frame) -> bytes:
     return buf.getvalue()
 
 
-def build_scene(name: str, res, asset_root=None):
-    """Returns (world_data, camera, bsdf, scene_kind, hit_backend)."""
+def build_scene(name: str, res, asset_root=None, size: int = 11):
+    """Returns (world_data, camera, bsdf, scene_kind, hit_backend).
+
+    ``size``: grid half-extent of the 'spheres' scene (reference default 11
+    → ~490 spheres, 10_final/__main__.py:12-45); tests pass 1 for a
+    compile-cheap ~10-sphere world."""
     from ..camera import LegacyCamera
 
     if name == "spheres":
         from ..stages.l11_bvh import legacy_random_scene
 
-        world = legacy_random_scene()
+        world = legacy_random_scene(size=size)
         # hit_backend 'auto' (Pallas scan): the XLA lockstep sphere-BVH walk
         # ('bvh') reproducibly faults the tunneled TPU worker — see
         # tests/test_bvh.py for its CPU coverage; the scan is faster here
@@ -222,6 +226,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", type=str, default="spheres",
                    help="'spheres' | world name (demo/Yoimiya/...) | path")
+    p.add_argument("--scene-size", type=int, default=11,
+                   help="sphere-scene grid half-extent (11 = the reference "
+                        "cover scene; tests use 1 for a tiny world)")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--spp", type=int, default=16, help="samples per pass")
@@ -234,6 +241,10 @@ def main():
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--max-frames", type=int, default=0,
                    help="stop after N frames (0 = run until interrupted)")
+    p.add_argument("--frame-interval", type=float, default=0.0,
+                   help="minimum seconds between published frames (paces "
+                        "the loop so tiny renders don't spin; tests rely "
+                        "on it to observe frame progression)")
     args = p.parse_args()
 
     import jax
@@ -245,7 +256,7 @@ def main():
 
     res = (args.width, args.height)
     wd, cam, bsdf, scene_kind, hit_backend = build_scene(
-        args.scene, res)
+        args.scene, res, size=args.scene_size)
     pr = ProgressiveRenderer(wd, cam, res, spp_per_frame=args.spp,
                              limit=args.limit, bsdf=bsdf, scene=scene_kind,
                              hit_backend=hit_backend)
@@ -268,6 +279,10 @@ def main():
             frames += 1
             if args.max_frames and frames >= args.max_frames:
                 break
+            if args.frame_interval:
+                dt = args.frame_interval - (time.time() - t0)
+                if dt > 0:
+                    time.sleep(dt)
             moved = _apply_inputs(cam, state.inputs, args.velocity)
     except KeyboardInterrupt:
         pass

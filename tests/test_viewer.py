@@ -104,25 +104,45 @@ def test_apply_inputs_moves_camera():
 def test_viewer_end_to_end_subprocess(tmp_path):
     """Full loop: subprocess serves frames from a real (tiny) render;
     generation advances across frames and input POSTs are accepted."""
+    import os
     import socket
     import subprocess
     import time
+
+    import jax
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
+    # The subprocess is a fresh interpreter: it must (a) run on CPU even
+    # where the site profile pins a TPU tunnel, and (b) see the same
+    # persistent compile cache as the test process — a cold CPU compile of
+    # even the tiny scene is compile-roulette against the test deadline.
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir:
+        env["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+
     proc = subprocess.Popen(
         [sys.executable, "-m", "learn_path_tracing_tpu.viewer.serve",
-         "--platform", "cpu", "--scene", "spheres",
+         "--platform", "cpu", "--scene", "spheres", "--scene-size", "1",
          "--width", "32", "--height", "16", "--spp", "1", "--limit", "2",
-         "--max-frames", "4", "--port", str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+         "--max-frames", "2000", "--frame-interval", "0.1",
+         "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
     base = f"http://127.0.0.1:{port}"
     try:
         gens = []
         deadline = time.time() + 600
         while time.time() < deadline and len(gens) < 2:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode(errors="replace")
+                raise AssertionError(
+                    f"viewer subprocess exited early (rc={proc.returncode}, "
+                    f"gens={gens}):\n{out}")
             try:
                 status, headers, _ = _get(base + "/frame.png")
             except OSError:
