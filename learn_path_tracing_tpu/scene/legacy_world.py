@@ -44,6 +44,14 @@ EPSILON = 1e-4
 LEGACY_IOR = 1.5
 LEGACY_ABSORPTIVITY = 0.25
 
+# The accelerator path brute-scans spheres (O(S) per ray) instead of walking
+# the reference's device sphere BVH (11_bvh.py:331-380): at the reference's
+# scene scale (<=500 spheres, 11_bvh.py:424-431) the Pallas scan wins
+# outright, but the cost is linear in S where a BVH walk is ~log S. Past
+# this ceiling the scan is no longer obviously right — warn so a big scene
+# never silently eats the O(S) fallback.
+SPHERE_SCAN_CEILING = 4096
+
 # Tests only: force hit_legacy's accelerator code paths (Pallas sphere scan,
 # packet traversal, fused single-mesh path) on CPU via interpret mode, so
 # kernel-path semantics are testable without a TPU (monkeypatched by
@@ -734,6 +742,18 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
             # scenes cap at ~500 spheres (11_bvh.py:424-431) where the scan
             # wins outright, and the lockstep walk at wavefront scale on
             # TPU outlives the device watchdog (scene/world.py note).
+            if s.center.shape[0] > SPHERE_SCAN_CEILING:
+                import warnings
+
+                warnings.warn(
+                    f"legacy world has {s.center.shape[0]} spheres; the "
+                    f"accelerator hit path brute-scans spheres (O(S) per "
+                    f"ray) and is only validated fast up to "
+                    f"~{SPHERE_SCAN_CEILING} — expect per-pass cost linear "
+                    f"in sphere count (the reference's scenes cap at ~500, "
+                    f"11_bvh.py:424-431). A sphere-leaf packet-BVH mode is "
+                    f"the planned fix for scenes this large.",
+                    stacklevel=2)
             from ..ops.sphere_scan import intersect_spheres_pallas
 
             t, p = intersect_spheres_pallas(ro, rd, s.center, s.radius,

@@ -591,3 +591,47 @@ def test_hit_legacy_fused_matches_composed(monkeypatch):
             np.asarray(getattr(ref.material, name))[h], rtol=3e-7, atol=1e-7)
     # inactive lanes never hit
     assert not np.asarray(fused.hit)[~alive].any()
+
+
+def test_sphere_scan_ceiling_warns(monkeypatch):
+    """The accelerator path brute-scans spheres; past SPHERE_SCAN_CEILING it
+    must warn (the O(S) fallback never silently eats a big scene). Below the
+    ceiling the trace stays silent."""
+    import warnings
+
+    import learn_path_tracing_tpu.scene.legacy_world as lw
+    from learn_path_tracing_tpu.accel.bvh import build_bvh
+    from learn_path_tracing_tpu.scene.legacy_world import (
+        SPHERE_SCAN_CEILING,
+        SphereDeviceData,
+    )
+
+    monkeypatch.setattr(lw, "_FORCE_ACCEL_INTERPRET", True)
+
+    import jax
+
+    def world_with(n_spheres):
+        base = _built_world().device()  # small mesh+sphere world for atlases
+        rs = np.random.RandomState(3)
+        c = rs.uniform(-50, 50, (n_spheres, 3)).astype(np.float32)
+        r = np.full((n_spheres,), 0.5, np.float32)
+        bvh = build_bvh(c - r[:, None], c + r[:, None], centroid=c,
+                        max_depth=12, max_leaf=8)
+        spheres = SphereDeviceData(
+            center=jnp.asarray(c), radius=jnp.asarray(r),
+            transparency=jnp.zeros((n_spheres,), jnp.float32),
+            tex=jnp.zeros((n_spheres,), jnp.int32), bvh=bvh)
+        return type(base)(meshes=base.meshes, spheres=spheres,
+                          atlas=base.atlas, envs=base.envs,
+                          env_id=base.env_id, tri_attr=base.tri_attr,
+                          env_gradient_h=base.env_gradient_h)
+
+    rays = _rays([[0, 0, 5]], [[0, 0, -1]])
+
+    # trace only (eval_shape): the warning is a trace-time property
+    with pytest.warns(UserWarning, match="brute-scans"):
+        jax.eval_shape(hit_legacy, world_with(SPHERE_SCAN_CEILING + 4), rays)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        jax.eval_shape(hit_legacy, world_with(64), rays)
