@@ -35,7 +35,16 @@ class ProgressiveRenderer:
     def __init__(self, world_data, camera: Camera, resolution,
                  spp_per_frame: int = 32, limit: int = 32, seed: int = 0,
                  bsdf: str = "legacy", scene: str = "legacy",
-                 camera_model: str = "thinlens", hit_backend: str = "auto"):
+                 camera_model: str = "thinlens", hit_backend: str = "auto",
+                 preview_spp: int = 0, preview_limit: int = 2):
+        """``preview_spp > 0`` enables motion preview: while the camera is
+        moving, frames render at ``preview_spp`` samples and ``preview_limit``
+        bounces (first hit + one scatter + env ≈ shaded geometry) instead of
+        the full quality settings, so free-fly stays responsive on scenes
+        whose full pass is below interactive rate (the 23k-tri mesh scenes —
+        the reference free-flies such scenes at 640x360, 12_free_view.py:26-30).
+        The first still frame discards the preview and restarts clean
+        accumulation at full quality."""
         self.world_data = world_data
         self.camera = camera
         self.resolution = (int(resolution[0]), int(resolution[1]))
@@ -46,17 +55,33 @@ class ProgressiveRenderer:
         self.scene = scene
         self.camera_model = camera_model
         self.hit_backend = hit_backend
+        self.preview_spp = int(preview_spp)
+        self.preview_limit = int(preview_limit)
         w, h = self.resolution
         self.acc = jnp.zeros((w * h, 3), jnp.float32)
         self.spp = 0
+        self._preview_only = False
 
     def render(self, moved: bool = True):
         """Add one batch of samples; reset the accumulator if the camera
         moved. Returns the current display frame ``f32[W,H,3]``."""
-        if moved:
-            w, h = self.resolution
+        w, h = self.resolution
+        if moved and self.preview_spp:
+            acc, _ = render_accumulate(
+                self.world_data, self.camera.params(),
+                jnp.zeros((w * h, 3), jnp.float32), jnp.uint32(0),
+                self.resolution, self.preview_spp, limit=self.preview_limit,
+                seed=self.seed, bsdf=self.bsdf,
+                camera_model=self.camera_model, scene=self.scene,
+                hit_backend=self.hit_backend)
+            self.acc = acc
+            self.spp = self.preview_spp
+            self._preview_only = True
+            return self.frame()
+        if moved or self._preview_only:
             self.acc = jnp.zeros((w * h, 3), jnp.float32)
             self.spp = 0
+            self._preview_only = False
         self.acc, _ = render_accumulate(
             self.world_data, self.camera.params(), self.acc,
             jnp.uint32(self.spp), self.resolution, self.spp_per_frame,

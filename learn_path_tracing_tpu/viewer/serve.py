@@ -238,6 +238,12 @@ def main():
                    help="bind address; the server is unauthenticated, so "
                         "pass 0.0.0.0 only to deliberately expose it")
     p.add_argument("--velocity", type=float, default=1.0)
+    p.add_argument("--preview-spp", type=int, default=-1,
+                   help="motion-preview samples per frame (0 disables; "
+                        "-1 auto: 4 for mesh scenes whose full pass is "
+                        "below interactive rate, off for sphere scenes)")
+    p.add_argument("--preview-limit", type=int, default=2,
+                   help="motion-preview bounce limit (2 = first hit + env)")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--max-frames", type=int, default=0,
                    help="stop after N frames (0 = run until interrupted)")
@@ -257,9 +263,16 @@ def main():
     res = (args.width, args.height)
     wd, cam, bsdf, scene_kind, hit_backend = build_scene(
         args.scene, res, size=args.scene_size)
+    preview_spp = args.preview_spp
+    if preview_spp < 0:
+        # auto: mesh worlds need the cheap motion path (full mesh pass is
+        # below interactive rate); the sphere scene free-flies at full spp
+        preview_spp = 4 if args.scene != "spheres" else 0
     pr = ProgressiveRenderer(wd, cam, res, spp_per_frame=args.spp,
                              limit=args.limit, bsdf=bsdf, scene=scene_kind,
-                             hit_backend=hit_backend)
+                             hit_backend=hit_backend,
+                             preview_spp=preview_spp,
+                             preview_limit=args.preview_limit)
 
     state = ViewerState()
     server = ThreadingHTTPServer((args.host, args.port),

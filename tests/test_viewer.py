@@ -160,3 +160,46 @@ def test_viewer_end_to_end_subprocess(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_progressive_preview_mode():
+    """With preview_spp set, moved frames render at (preview_spp,
+    preview_limit) and do NOT feed the quality accumulator: the first still
+    frame restarts clean accumulation, and subsequent still frames
+    accumulate. Sample values must match a preview-off renderer once
+    still (counter-based RNG ⇒ bit-identical accumulators)."""
+    import jax.numpy as jnp
+
+    from learn_path_tracing_tpu.camera import Camera
+    from learn_path_tracing_tpu.models import random_scene
+    from learn_path_tracing_tpu.viewer.progressive import ProgressiveRenderer
+
+    res = (16, 12)
+    wd = random_scene(seed=5, size=1).device()
+    cam = Camera(res, fov=40)
+    cam.set_position((0, 1.5, 6))
+    cam.look_at((0, 0, 0))
+
+    def mk(preview):
+        c = Camera(res, fov=40)
+        c.set_position((0, 1.5, 6))
+        c.look_at((0, 0, 0))
+        return ProgressiveRenderer(
+            wd, c, res, spp_per_frame=2, limit=3, seed=0, bsdf="modern",
+            scene="spheres", preview_spp=preview, preview_limit=2)
+
+    pv, full = mk(4), mk(0)
+
+    f = pv.render(moved=True)          # preview frame
+    assert pv.spp == 4 and pv._preview_only
+    assert np.isfinite(np.asarray(f)).all()
+
+    pv.render(moved=False)             # first still: restart at full quality
+    full.render(moved=True)
+    assert pv.spp == 2 and not pv._preview_only
+    np.testing.assert_array_equal(np.asarray(pv.acc), np.asarray(full.acc))
+
+    pv.render(moved=False)             # accumulation continues
+    full.render(moved=False)
+    assert pv.spp == 4
+    np.testing.assert_array_equal(np.asarray(pv.acc), np.asarray(full.acc))
