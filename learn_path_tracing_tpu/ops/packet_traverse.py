@@ -45,6 +45,9 @@ from ..accel.wide import WIDTH, WideBVH, decode_leaf, _PAD, _SORT8 as _SORT8_PAI
 import os
 
 RAY_BLOCK = int(os.environ.get("LPT_PACKET_BLOCK", "1024"))  # 1024 measured best on Yoimiya end-to-end (8.42 vs 8.06 Mrays/s at 2048): smaller packets walk smaller node unions; 512 and 4096 hang the Mosaic compiler
+# Default kernel version for callers that don't pass one (hit_legacy's
+# composed and fused paths). 2 = full-block v2, 3 = tile-ranged v3.
+PACKET_VERSION = int(os.environ.get("LPT_PACKET_VERSION", "2"))
 SLOT_F = 12            # floats per triangle slot (n, d, g1, c1, g2, c2)
 SLOTS = 8              # triangle slots per run row
 _PRIM_COL = SLOT_F * SLOTS  # cols 96..103: original prim index per slot (f32)
@@ -512,6 +515,227 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
     iters_ref[0, :] = jnp.full((b,), out[-1], jnp.int32)
 
 
+_TILE = 128  # lane-tile width for the v3 ranged kernel (one f32 vreg row)
+
+
+def _kernel_v3(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
+               iters_ref, stack_ref, stack_t_ref, stack_r_ref, cnt_ref,
+               cap_ref, inv_ref, *, eps, max_iters, cap):
+    """Tile-ranged packet traversal (v3).
+
+    v2's cost model is per-pop vector math over the FULL block width: every
+    popped node slab-tests all RAY_BLOCK lanes even when only a handful can
+    still hit it. For coherent primary packets that is fine (every lane
+    wants every node), but incoherent bounce wavefronts walk near-whole-tree
+    unions (18.2 ms vs 1.93 ms per 230k rays, BASELINE.md round-2) where
+    each deep node interests only a narrow slice of the block — the
+    coherence sort clusters the interested lanes CONTIGUOUSLY.
+
+    v3 therefore carries a lane-tile interval [lo, hi) on every stack entry:
+    the 128-lane tiles spanning the lanes that hit the node's AABB when it
+    was pushed. All per-node work — slab tests, leaf tests, best-t updates —
+    runs only on tiles in the interval, as a dynamic ``fori_loop`` over
+    [8, 128] (single-vreg) tiles with dynamic sublane slices. Child
+    intervals are computed from per-tile hit masks during the parent's slab
+    loop, so intervals only narrow as traversal descends. Total vector work
+    becomes ~ sum over pops of |interested tiles| — approaching the
+    per-lane union cost a per-thread stack machine (the reference's CUDA
+    walk, 15_module.py:756-779) pays, while keeping the packet kernel's
+    scalar-core control flow and zero per-lane gathers.
+
+    Exactness: a lane outside its parent's interval cannot hit the child
+    (child AABB ⊆ parent AABB ⇒ slab interval nests, and the ``t_best``
+    prune is monotone — t_best only decreases, so a lane that failed the
+    parent's ``t0 < t_best + eps`` test fails the child's forever). Hit
+    sets, traversal order and results are therefore bit-identical to v2
+    (tests/test_packet_traverse.py parametrizes all versions).
+
+    Layout: rays arrive as f32[8, NT, 128] (field-major, tile-split lanes);
+    t/prim/iters are [NT, 128]. Ranges pack as lo * 256 + hi in one i32.
+    """
+    nt = rays_ref.shape[1]
+    imax = jnp.int32(np.int32(2 ** 31 - 1))
+    slot8 = jax.lax.broadcasted_iota(jnp.int32, (WIDTH, 1), 0)
+    t_ref[:, :] = rays_ref[_TINIT]
+    prim_ref[:, :] = jnp.full((nt, _TILE), -1, jnp.int32)
+    inv_ref[:, :, :] = 1.0 / rays_ref[_RD:_RD + 3]
+    stack_ref[0] = jnp.int32(0)              # root node
+    stack_t_ref[0] = jnp.float32(0.0)
+    stack_r_ref[0] = jnp.int32(nt)           # full range: 0 * 256 + nt
+    cap_ref[0] = jnp.max(rays_ref[_TINIT])
+
+    def leaf_runs(run_row, lo_t, hi_t):
+        """Test one run row's 8 triangle slots against tiles [lo_t, hi_t)."""
+        row = runs_ref[pl.ds(run_row, 1), :]
+
+        def coef(k):
+            return row[0, k * WIDTH:(k + 1) * WIDTH].reshape(WIDTH, 1)
+
+        cs = [coef(k) for k in range(SLOT_F)]
+        primv = row[0:1, _PRIM_COL:_PRIM_COL + SLOTS].reshape(SLOTS, 1)
+
+        def tbody(j, _):
+            ro_t = [rays_ref[_RO + d, pl.ds(j, 1), :] for d in range(3)]
+            rd_t = [rays_ref[_RD + d, pl.ds(j, 1), :] for d in range(3)]
+            denom = rd_t[0] * cs[0] + rd_t[1] * cs[1] + rd_t[2] * cs[2]
+            ron = ro_t[0] * cs[0] + ro_t[1] * cs[1] + ro_t[2] * cs[2]
+            t = (cs[3] - ron) / denom
+            w1 = (ro_t[0] * cs[4] + ro_t[1] * cs[5] + ro_t[2] * cs[6]
+                  + t * (rd_t[0] * cs[4] + rd_t[1] * cs[5]
+                         + rd_t[2] * cs[6]) + cs[7])
+            w2 = (ro_t[0] * cs[8] + ro_t[1] * cs[9] + ro_t[2] * cs[10]
+                  + t * (rd_t[0] * cs[8] + rd_t[1] * cs[9]
+                         + rd_t[2] * cs[10]) + cs[11])
+            w3 = 1.0 - w1 - w2
+            t_b = t_ref[pl.ds(j, 1), :]                   # [1,128]
+            ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
+                  & (t < t_b))                            # [8,128]
+            t_masked = jnp.where(ok, t, jnp.inf)
+            t_new = jnp.min(t_masked, axis=0, keepdims=True)
+            improved = jnp.isfinite(t_new) & (t_new < t_b)
+            tkey = (jax.lax.bitcast_convert_type(t_masked, jnp.int32)
+                    & jnp.int32(~7)) | slot8
+            kmin = jnp.min(tkey, axis=0, keepdims=True)
+            won = tkey == kmin
+            pidf = jnp.sum(jnp.where(won, primv, 0.0), axis=0, keepdims=True)
+            pid_old = prim_ref[pl.ds(j, 1), :]
+            prim_ref[pl.ds(j, 1), :] = jnp.where(improved,
+                                                 pidf.astype(jnp.int32),
+                                                 pid_old)
+            t_ref[pl.ds(j, 1), :] = jnp.where(improved, t_new, t_b)
+            return 0
+
+        lax.fori_loop(lo_t, hi_t, tbody, 0)
+
+    def body(carry):
+        sp, it = carry
+        code = stack_ref[sp]
+        t0_pop = stack_t_ref[sp]
+        rv = stack_r_ref[sp]
+        lo_p, hi_p = rv // 256, rv % 256
+        cnt_ref[0] = jnp.int32(0)
+        live = t0_pop < cap_ref[0] + eps   # stale entries pop in O(1)
+
+        @pl.when(live)
+        def _node():
+            row = nodes_ref[pl.ds(code, 1), :]
+            los = [row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
+                   for d in range(3)]
+            his = [row[0, (3 + d) * 8:(4 + d) * 8].reshape(WIDTH, 1)
+                   for d in range(3)]
+
+            def tile(j, carry):
+                tmin8, lo8, hi8 = carry
+                t0v = jnp.full((WIDTH, _TILE), -jnp.inf, jnp.float32)
+                t1v = jnp.full((WIDTH, _TILE), jnp.inf, jnp.float32)
+                for d in range(3):
+                    ro_t = rays_ref[_RO + d, pl.ds(j, 1), :]
+                    iv = inv_ref[d, pl.ds(j, 1), :]
+                    ta = (los[d] - ro_t) * iv
+                    tb = (his[d] - ro_t) * iv
+                    t0v = jnp.maximum(t0v, jnp.minimum(ta, tb))
+                    t1v = jnp.minimum(t1v, jnp.maximum(ta, tb))
+                t_b = t_ref[pl.ds(j, 1), :]
+                lane_hit = ((t1v > t0v - eps) & (t1v > 0.0)
+                            & (t0v < t_b + eps))          # [8,128]
+                tmin_t = jnp.min(jnp.where(lane_hit, jnp.maximum(t0v, 0.0),
+                                           jnp.inf), axis=1, keepdims=True)
+                anyh = tmin_t < jnp.inf                   # [8,1]
+                tmin8 = jnp.minimum(tmin8, tmin_t)
+                lo8 = jnp.minimum(lo8, jnp.where(anyh, j, nt))
+                hi8 = jnp.maximum(hi8, jnp.where(anyh, j + 1, 0))
+                return tmin8, lo8, hi8
+
+            tmin8, lo8, hi8 = lax.fori_loop(
+                lo_p, hi_p, tile,
+                (jnp.full((WIDTH, 1), jnp.inf, jnp.float32),
+                 jnp.full((WIDTH, 1), nt, jnp.int32),
+                 jnp.zeros((WIDTH, 1), jnp.int32)))
+            ent = entries_ref[pl.ds(code, 1), 0:WIDTH].reshape(WIDTH, 1)
+            key = jnp.where(ent != _PAD, tmin8, jnp.inf)
+            ikey = (jax.lax.bitcast_convert_type(key, jnp.int32)
+                    & jnp.int32(~7)) | slot8
+            finite = key < jnp.inf
+            is_leaf = ent < 0
+            rng8 = lo8 * 256 + hi8                        # [8,1] packed
+
+            # ---- inline leaves, nearest-first, ranged ----
+            lkey = jnp.where(finite & is_leaf, ikey, imax)
+            n_leaf = jnp.sum((finite & is_leaf).astype(jnp.int32))
+
+            def lbody(_, lk):
+                lmin = jnp.min(lk)
+                sel = lk == lmin
+                lcode = jnp.sum(jnp.where(sel, ent, 0))
+                lrv = jnp.sum(jnp.where(sel, rng8, 0))
+                v = -(lcode + 1)
+                row0 = v // _ENC
+                leaf_runs(row0, lrv // 256, lrv % 256)
+
+                @pl.when(v % _ENC > SLOTS)  # fat leaf: 2nd spill row
+                def _row2():
+                    leaf_runs(row0 + 1, lrv // 256, lrv % 256)
+
+                return jnp.where(sel, imax, lk)
+
+            lax.fori_loop(0, n_leaf, lbody, lkey)
+
+            # ---- node children: 0/1 fast paths, sort when >= 2 ----
+            nmask = finite & ~is_leaf
+            nkey = jnp.where(nmask, ikey, imax)
+            n_node = jnp.sum(nmask.astype(jnp.int32))
+            cnt_ref[0] = n_node
+
+            @pl.when(n_node == 1)
+            def _push1():
+                sel = nkey == jnp.min(nkey)
+                stack_ref[sp] = jnp.sum(jnp.where(sel, ent, 0))
+                stack_t_ref[sp] = jnp.sum(
+                    jnp.where(sel & finite, jnp.maximum(tmin8, 0.0), 0.0))
+                stack_r_ref[sp] = jnp.sum(jnp.where(sel, rng8, 0))
+
+            @pl.when(n_node >= 2)
+            def _pushn():
+                keyn = jnp.where(nmask, jnp.maximum(tmin8, 0.0), jnp.inf)
+                keyv = [keyn[c, 0] for c in range(WIDTH)]
+                entv = [ent[c, 0] for c in range(WIDTH)]
+                rngv = [rng8[c, 0] for c in range(WIDTH)]
+                for a_, b_ in _SORT8_PAIRS:
+                    swap = keyv[a_] > keyv[b_]
+                    ka = jnp.where(swap, keyv[b_], keyv[a_])
+                    kb = jnp.where(swap, keyv[a_], keyv[b_])
+                    va = jnp.where(swap, entv[b_], entv[a_])
+                    vb = jnp.where(swap, entv[a_], entv[b_])
+                    ra = jnp.where(swap, rngv[b_], rngv[a_])
+                    rb = jnp.where(swap, rngv[a_], rngv[b_])
+                    keyv[a_], keyv[b_] = ka, kb
+                    entv[a_], entv[b_] = va, vb
+                    rngv[a_], rngv[b_] = ra, rb
+                for c in range(WIDTH):
+                    valid = jnp.isfinite(keyv[c])
+                    pos = jnp.where(valid, sp + n_node - 1 - c, cap - 1)
+                    trash = stack_ref[cap - 1]
+                    trash_t = stack_t_ref[cap - 1]
+                    trash_r = stack_r_ref[cap - 1]
+                    stack_ref[pos] = jnp.where(valid, entv[c], trash)
+                    stack_t_ref[pos] = jnp.where(valid, keyv[c], trash_t)
+                    stack_r_ref[pos] = jnp.where(valid, rngv[c], trash_r)
+
+        # refresh the stale-prune cap every 4th pop (see _kernel_v2)
+        @pl.when(live & ((it & 3) == 0))
+        def _cap():
+            cap_ref[0] = jnp.max(t_ref[:, :])
+
+        return sp - 1 + cnt_ref[0], it + 1
+
+    def cond(carry):
+        sp, it = carry
+        return (sp >= 0) & (it < max_iters)
+
+    _, it_final = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    iters_ref[:, :] = jnp.full((nt, _TILE), it_final, jnp.int32)
+
+
 def treelet_boxes(nodes, entries):
     """(lo f32[64,3], hi f32[64,3]) AABBs of the root's depth-2 subtrees.
 
@@ -684,6 +908,51 @@ def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
     max_iters = 16 * m + 64  # hard termination backstop
 
     grid = (n_pad // RAY_BLOCK,)
+    if version == 3:
+        if nstacks != 1:
+            raise ValueError("nstacks > 1 requires version=2")
+        nt = RAY_BLOCK // _TILE
+        kern = functools.partial(_kernel_v3, eps=eps, max_iters=max_iters,
+                                 cap=cap)
+        rays_3d = rays_rows.reshape(8, n_pad // _TILE, _TILE)
+        t, prim, iters = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nodes.shape[0], 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((entries.shape[0], 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((runs.shape[0], 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, nt, _TILE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nt, _TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nt, _TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nt, _TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad // _TILE, _TILE), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad // _TILE, _TILE), jnp.int32),
+                jax.ShapeDtypeStruct((n_pad // _TILE, _TILE), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((cap,), jnp.int32),
+                pltpu.SMEM((cap,), jnp.float32),
+                pltpu.SMEM((cap,), jnp.int32),     # packed tile ranges
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((1,), jnp.float32),     # cap_ref
+                pltpu.VMEM((3, nt, _TILE), jnp.float32),  # 1/rd cache
+            ],
+            interpret=interpret,
+        )(nodes, entries, runs, rays_3d)
+        return (t.reshape(1, n_pad), prim.reshape(1, n_pad),
+                iters.reshape(1, n_pad))
     if version == 2:
         kern = functools.partial(_kernel_v2, eps=eps, max_iters=max_iters,
                                  cap=cap, nstacks=nstacks)
@@ -743,10 +1012,12 @@ _KEY_ENTERED_LIM = _TREELET_NONE << 18
 _KEY_INACTIVE = (_TREELET_NONE + 1) << 18
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_key"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_key",
+                                             "version"))
 def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
                            eps: float = 1e-4, interpret: bool = False,
-                           sort_key: str = "treelet", treelets=None):
+                           sort_key: str = "treelet", treelets=None,
+                           version: int | None = None):
     """Coherence-sorted traversal for FUSED hit shading (single-structure
     worlds; t_init is implicitly +inf — no cross-structure seeding).
 
@@ -773,6 +1044,8 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
         # the entered-prefix property (hits ⊆ first entered_n sorted lanes)
         # only holds for the treelet-major key
         raise ValueError("packet_traverse_sorted requires sort_key='treelet'")
+    if version is None:
+        version = PACKET_VERSION
     n = ro.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     key = _coherence_key(nodes, entries, ro, rd, sort_key, eps=eps,
@@ -798,7 +1071,8 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
     rays = rays.at[_TINIT, n:].set(-jnp.inf)   # padding lanes: inert
     rays = rays.at[_ACTIVE, :n].set(active_s.astype(jnp.float32))
 
-    t, prim, _ = _kernel_call(nodes, entries, runs, rays, eps, interpret)
+    t, prim, _ = _kernel_call(nodes, entries, runs, rays, eps, interpret,
+                              version=version)
     prim_s = prim[0, :n]
     t_s = jnp.where(prim_s >= 0, t[0, :n], jnp.inf)
     return t_s, prim_s, ro_s, rd_s, entered_n, order_idx
@@ -810,7 +1084,7 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
 def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
                     eps: float = 1e-4, interpret: bool = False,
                     sort_rays: bool = True, with_stats: bool = False,
-                    sort_key: str = "treelet", version: int = 2,
+                    sort_key: str = "treelet", version: int | None = None,
                     nstacks: int = 1, treelets=None):
     """Nearest-hit packet traversal.
 
@@ -822,6 +1096,8 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     grouping key ('treelet' | 'morton', see _coherence_key).
     Returns ``(t f32[N] — t_init where unbeaten, prim i32[N] — -1)``.
     """
+    if version is None:
+        version = PACKET_VERSION
     n = ro.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     m = nodes.shape[0]

@@ -5,13 +5,19 @@ slab-test the (sorted-contiguous) lanes that hit their parent; this is the
 round-3 attack on the incoherent-union blowup (18.2 ms sorted vs 1.93 ms
 coherent per 230k rays, BASELINE.md round-2).
 
-Usage: python scripts/profile_packet_v3.py [--n 230400] [--reps 5]
+Coherent workload = primary camera rays (interactive config); incoherent =
+one legacy-scatter bounce off those primaries (the wavefront the persistent
+integrator actually traces). Everything is jitted: eager dispatches stall
+minutes on the axon tunnel.
+
+Usage: python scripts/profile_packet_v3.py [--reps 5] [--versions 2,3]
 """
 
 import argparse
+import functools
 import os
 import sys
-import time
+
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -19,7 +25,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n", type=int, default=230400)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--versions", type=str, default="2,3")
     args = p.parse_args()
@@ -28,65 +33,66 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from learn_path_tracing_tpu.bsdf.bsdf import scatter_legacy
     from learn_path_tracing_tpu.camera import LegacyCamera
-    from learn_path_tracing_tpu.ops.packet_traverse import packet_traverse
+    from learn_path_tracing_tpu.camera.camera import generate_rays_for_pixels
+    from learn_path_tracing_tpu.core import rng
+    from learn_path_tracing_tpu.core.pytree import tree_where
+    from learn_path_tracing_tpu.ops import packet_traverse as pt
+    from learn_path_tracing_tpu.scene.legacy_world import hit_legacy
     from worldcache import load_world
 
+    res = (640, 360)
+    n = res[0] * res[1]
     wd = load_world()
     mesh = wd.meshes[0]
     nodes, entries, runs = mesh.packet
-    n = args.n
-
-    # coherent: primary camera rays at the interactive config
-    cam = LegacyCamera((640, 360))
+    cam = LegacyCamera(res)
     cam.set_fov(30)
     cam.set_position((0, 8, -30))
     cam.look_at((0, 8, 0))
     cp = cam.params()
-    from learn_path_tracing_tpu.camera.camera import generate_rays_for_pixels
-    pix = jnp.arange(n, dtype=jnp.uint32) % jnp.uint32(640 * 360)
-    samp = jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(640 * 360)
-    rays = generate_rays_for_pixels(cp, (640, 360), pix, 0, samp,
-                                    model="jitter")
-    ro_c, rd_c = rays.ro, rays.rd
+    pix = jnp.arange(n, dtype=jnp.uint32)
 
-    # incoherent: random origins in the mesh AABB, random directions
-    rng = np.random.default_rng(0)
-    lo = np.asarray(jnp.min(mesh.v0, axis=0))
-    hi = np.asarray(jnp.max(mesh.v0, axis=0))
-    ro_i = jnp.asarray(
-        rng.uniform(lo - 0.1, hi + 0.1, size=(n, 3)).astype(np.float32))
-    rd_i = rng.normal(size=(n, 3)).astype(np.float32)
-    rd_i = jnp.asarray(rd_i / np.linalg.norm(rd_i, axis=-1, keepdims=True))
+    rays = jax.jit(lambda s: generate_rays_for_pixels(cp, res, pix, s, 0))(0)
 
-    t_init = jnp.full((n,), jnp.inf, jnp.float32)
-    active = jnp.ones((n,), bool)
+    @jax.jit
+    def mk_secondary(wd, rays):
+        hits = hit_legacy(wd, rays)
+        base = rng.base(rng.stream(0, 0, 0, rng.STREAM_BSDF), pix)
+        sc = scatter_legacy(rays, hits, base)
+        return tree_where(hits.hit, sc, rays)
 
-    for name, ro, rd in (("coherent", ro_c, rd_c), ("incoherent", ro_i, rd_i)):
+    sec = mk_secondary(wd, rays)
+    jax.block_until_ready(sec.ro)
+    print(f"wide nodes={int(nodes.shape[0])} block={pt.RAY_BLOCK}",
+          flush=True)
+
+    t_inf = jnp.full((n,), jnp.inf, jnp.float32)
+    alive = jnp.ones((n,), bool)
+
+    from learn_path_tracing_tpu.utils.benchlib import time_fn_async
+
+    for name, rr in (("coherent", rays), ("incoherent", sec)):
         ref = None
         for v in [int(x) for x in args.versions.split(",")]:
-            def run():
-                return packet_traverse(nodes, entries, runs, ro, rd, t_init,
-                                       active, version=v,
-                                       treelets=mesh.treelets)
-            t, prim = run()
-            jax.block_until_ready((t, prim))
-            best = 1e9
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                t, prim = run()
-                jax.block_until_ready((t, prim))
-                best = min(best, time.perf_counter() - t0)
-            hits = int(jnp.sum(prim >= 0))
+            fn = jax.jit(functools.partial(
+                pt.packet_traverse, version=v, treelets=mesh.treelets))
+
+            best, out = time_fn_async(
+                fn, nodes, entries, runs, rr.ro, rr.rd, t_inf, alive,
+                iters=max(args.reps, 16))
+            t_h, p_h = np.asarray(out[0]), np.asarray(out[1])
+            hits_n = int((p_h >= 0).sum())
             if ref is None:
-                ref = (np.asarray(t), np.asarray(prim))
+                ref = (t_h, p_h)
                 match = "ref"
             else:
-                match = ("EXACT" if np.array_equal(ref[0], np.asarray(t))
-                         and np.array_equal(ref[1], np.asarray(prim))
-                         else "MISMATCH")
+                match = ("EXACT" if np.array_equal(ref[0], t_h)
+                         and np.array_equal(ref[1], p_h) else "MISMATCH")
             print(f"{name:10s} v{v}: {best*1e3:7.2f} ms  "
-                  f"{n/best/1e6:7.1f} Mrays/s  hits={hits}  {match}")
+                  f"{n/best/1e6:7.1f} Mrays/s  hits={hits_n}  {match}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -122,7 +122,7 @@ def test_packet_sorted_path_exact(np_rng):
     assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
 
-@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("version", [1, 2, 3])
 def test_packet_fat_leaves_two_row_runs(np_rng, version):
     """max_leaf > 8 spills leaf runs into a second packed row; both kernel
     versions must still find every hit (a missed spill row would silently
@@ -152,3 +152,30 @@ def test_packet_fat_leaves_two_row_runs(np_rng, version):
     assert np.array_equal(np.isfinite(t_b), np.isfinite(t_p))
     hit = np.isfinite(t_b)
     assert np.allclose(t_b[hit], t_p[hit], rtol=1e-4, atol=1e-5)
+
+
+def test_packet_v3_matches_v2_exactly(np_rng):
+    """The tile-ranged v3 kernel must be bit-identical to v2: lane-tile
+    intervals only ever EXCLUDE lanes that provably cannot hit (child AABB
+    nests inside the parent's, and the t_best prune is monotone), so hit
+    sets, winning prims, and t values may not change at all."""
+    from learn_path_tracing_tpu.ops.packet_traverse import packet_traverse
+
+    v0, v1, v2 = _mesh(np_rng, 120)
+    flat, wide, (nodes, entries, runs) = _tables(v0, v1, v2)
+
+    n_r = 256
+    ro = np_rng.normal(size=(n_r, 3)).astype(np.float32) * 4
+    rd = np_rng.normal(size=(n_r, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t_init = jnp.full((n_r,), jnp.inf, jnp.float32)
+    active = jnp.asarray(np_rng.uniform(size=n_r) < 0.9)
+
+    outs = [packet_traverse(nodes, entries, runs, jnp.asarray(ro),
+                            jnp.asarray(rd), t_init, active,
+                            interpret=True, version=v, sort_rays=False)
+            for v in (2, 3)]
+    np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                  np.asarray(outs[1][0]))
+    np.testing.assert_array_equal(np.asarray(outs[0][1]),
+                                  np.asarray(outs[1][1]))
