@@ -552,6 +552,18 @@ def _kernel_v3(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
 
     Layout: rays arrive as f32[8, NT, 128] (field-major, tile-split lanes);
     t/prim/iters are [NT, 128]. Ranges pack as lo * 256 + hi in one i32.
+
+    MEASURED SLOWER than v2 on v5e (2026-08-19, scripts/profile_packet_v3.py
+    + bench.py): kernel-only 6.23 vs 5.72 ms coherent and 11.49 vs 9.48 ms
+    one-bounce mix per 230k rays; yoimiya end-to-end 10.48 vs 12.22 Mrays/s.
+    Two compounding causes: (a) the interval is CONTIGUOUS — a node whose
+    interested lanes sit in disjoint key clusters (tiles {0, 7}) keeps the
+    full [0, 8) range, so deep ranges rarely narrow on real wavefronts;
+    (b) each tile iteration pays dynamic-sublane-slice overhead that
+    exceeds the saved [8,128] vector work (the same scalar-overhead wall
+    the nstacks experiment hit — see _kernel_v2's docstring). Kept
+    non-default (LPT_PACKET_VERSION=3) as a bit-exact documented negative
+    result; the sort key, not the kernel, is where incoherence cost lives.
     """
     nt = rays_ref.shape[1]
     imax = jnp.int32(np.int32(2 ** 31 - 1))
