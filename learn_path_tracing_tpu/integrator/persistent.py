@@ -52,14 +52,15 @@ POOL_FLOOR = 57600
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
                                    "engine", "pool_mult", "pool_div",
-                                   "drain_ratio", "drain_floor", "stats"))
+                                   "drain_ratio", "drain_floor",
+                                   "drain_unroll", "stats"))
 def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
                       hit_backend: str = "auto", engine: str = "auto",
                       pool_mult: int = 0, pool_div: int = 0,
                       drain_ratio: int = 8, drain_floor: int = 0,
-                      stats: bool = False):
+                      drain_unroll: int = 0, stats: bool = False):
     """Returns (image f32[W,H,3], segments f32). Same sample values as
     wavefront.render; per-pixel sum order differs (~1 ulp).
 
@@ -84,7 +85,7 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     out = _persistent_core(
         world_data, cam, resolution, n, 0, 0, spp, limit, seed, bsdf,
         camera_model, scene, hit_backend, pool_mult, pool_div, drain_ratio,
-        drain_floor, stats)
+        drain_floor, drain_unroll, stats)
     if stats:
         acc_flat, segments, st = out
         return (acc_flat / spp).reshape(w, h, 3), segments, st
@@ -97,7 +98,7 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
                      bsdf: str, camera_model: str, scene: str,
                      hit_backend: str, pool_mult: int, pool_div: int,
                      drain_ratio: int, drain_floor: int = 0,
-                     stats: bool = False):
+                     drain_unroll: int = 0, stats: bool = False):
     """Persistent render over a pixel range and sample range.
 
     Traces samples ``[sample_base, sample_base + spp)`` of pixels
@@ -363,14 +364,27 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
         def cond_d(state, next_w=next_w):
             return state[-1] > jnp.float32(next_w)
 
-        def body_d(state, item_of_d=item_of_d, samp_cur=samp_cur):
-            rays, k, bounce, acc, segments, passes, _ = state
-            _, pixel, _ = item_of_d(k)
-            rays, next_k, bounce, contrib, live, live_after = step(
-                rays, k, bounce, pixel, samp_cur, item_of_d)
-            acc = acc.at[pixel].add(contrib)
-            return (rays, next_k, bounce, acc, segments + live, passes + 1.0,
-                    live_after)
+        # drain_unroll > 1 runs that many bounce steps per while iteration
+        # (steps on a drained pool are exact no-ops, so overshoot past the
+        # level boundary never changes results). Measured NEUTRAL on v5e:
+        # yoimiya spp64 wall was 1.670 s with unroll 1 and with 2/4/8 —
+        # while-iteration overhead inside a jitted loop is ~0 on this
+        # runtime; drain cost is per-STEP compute (the packet kernel's
+        # node union, width-independent — see c9b0878). Kept as an
+        # ablation knob; auto stays 1.
+        unroll = drain_unroll if drain_unroll > 0 else 1
+
+        def body_d(state, item_of_d=item_of_d, samp_cur=samp_cur,
+                   unroll=unroll):
+            rays, k, bounce, acc, segments, passes, live_now = state
+            for _ in range(unroll):
+                _, pixel, _ = item_of_d(k)
+                rays, k, bounce, contrib, live, live_now = step(
+                    rays, k, bounce, pixel, samp_cur, item_of_d)
+                acc = acc.at[pixel].add(contrib)
+                segments = segments + live
+                passes = passes + 1.0
+            return (rays, k, bounce, acc, segments, passes, live_now)
 
         (rays, k, bounce, acc_flat, segments, lvl_passes,
          live_now) = jax.lax.while_loop(
