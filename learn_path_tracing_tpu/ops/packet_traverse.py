@@ -136,9 +136,11 @@ def pack_packet_tables(wbvh: WideBVH, v0, v1, v2):
             jnp.asarray(np.stack(runs)))
 
 
-def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
-            iters_ref, stack_ref, stack_t_ref, cnt_ref, *, eps, max_iters,
-            cap):
+def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
+            prim_ref, iters_ref, stack_ref, stack_t_ref, cnt_ref, *, eps,
+            max_iters, cap):
+    # (entn_ref — the v2 entered-prefix gate — is accepted but unused:
+    # v1 is the ablation baseline and always runs the full loop.)
     """Ordered packet traversal, child-axis-vectorized.
 
     Per iteration the scalar core pops one (code, t0) entry; all per-child
@@ -285,9 +287,9 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
     iters_ref[0, :] = jnp.full((b,), it_final, jnp.int32)
 
 
-def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
-               iters_ref, stack_ref, stack_t_ref, cnt_ref, cap_ref, *, eps,
-               max_iters, cap, nstacks=1):
+def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
+               prim_ref, iters_ref, stack_ref, stack_t_ref, cnt_ref, cap_ref,
+               *, eps, max_iters, cap, nstacks=1):
     """Inline-leaf ordered packet traversal (v2).
 
     Telemetry on the v1 kernel (scripts/profile_packet_stats.py, Yoimiya
@@ -510,9 +512,26 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
                                      sps[h] - 1 + cnt_ref[h], sps[h]))
         return (*new_sps, it + 1)
 
-    out = lax.while_loop(cond, body,
-                         (*([jnp.int32(0)] * nstacks), jnp.int32(0)))
-    iters_ref[0, :] = jnp.full((b,), out[-1], jnp.int32)
+    # Entered-prefix gate: with coherence-sorted lanes the caller passes
+    # entn_ref = count of lanes entering >= 1 depth-2 treelet (no-entry and
+    # inactive lanes sort past them; "hit => entered" is exact for the
+    # eps-relaxed key — the same property the fused attrs prefix relies on).
+    # Blocks that start past the prefix are provably all-miss: their result
+    # is the init state (t = t_init, prim = -1), so the whole traversal
+    # loop is skipped. Unsorted callers pass entn = n_pad (gate off).
+    # Measured NEUTRAL end-to-end on yoimiya (1.657 vs 1.670 s in-situ,
+    # ~87% no-entry lanes): an all-miss block's loop was already ~free
+    # (root pops, slab fails every lane, stack empties in 1-2 iterations).
+    # Kept because it makes the skip PROVABLE at any scene scale instead
+    # of relying on the root slab failing fast.
+    iters_ref[0, :] = jnp.zeros((b,), jnp.int32)
+    run_block = pl.program_id(0) * b < entn_ref[0]
+
+    @pl.when(run_block)
+    def _traverse():
+        out = lax.while_loop(cond, body,
+                             (*([jnp.int32(0)] * nstacks), jnp.int32(0)))
+        iters_ref[0, :] = jnp.full((b,), out[-1], jnp.int32)
 
 
 _TILE = 128  # lane-tile width for the v3 ranged kernel (one f32 vreg row)
@@ -902,7 +921,8 @@ def _sort_inv(order_idx, t, prim):
 
 
 def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
-                 interpret: bool, version: int = 2, nstacks: int = 1):
+                 interpret: bool, version: int = 2, nstacks: int = 1,
+                 entered=None):
     """Invoke the packet kernel on pre-packed ray rows ``f32[8, n_pad]``.
 
     Shared by ``packet_traverse`` (lane-order API) and
@@ -911,6 +931,9 @@ def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
     """
     n_pad = rays_rows.shape[1]
     m = nodes.shape[0]
+    # entered-prefix gate operand (see _kernel_v2): blocks starting past
+    # this lane count skip traversal. None = gate off (unsorted lanes).
+    entn = jnp.full((1,), n_pad if entered is None else entered, jnp.int32)
     if RAY_BLOCK % nstacks:
         raise ValueError(f"nstacks={nstacks} must divide block {RAY_BLOCK}")
     # Shared-stack capacity: each pushed level adds <= 8 entries; the wide
@@ -996,6 +1019,7 @@ def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # entered-lane count
         ],
         out_specs=[
             pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
@@ -1012,7 +1036,7 @@ def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(nodes, entries, runs, rays_rows)
+    )(nodes, entries, runs, rays_rows, entn)
 
 
 # Treelet-key sentinels (see _treelet_entry_key/_coherence_key): lanes that
@@ -1084,7 +1108,8 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
     rays = rays.at[_ACTIVE, :n].set(active_s.astype(jnp.float32))
 
     t, prim, _ = _kernel_call(nodes, entries, runs, rays, eps, interpret,
-                              version=version)
+                              version=version,
+                              entered=entered_n if version != 3 else None)
     prim_s = prim[0, :n]
     t_s = jnp.where(prim_s >= 0, t[0, :n], jnp.inf)
     return t_s, prim_s, ro_s, rd_s, entered_n, order_idx
