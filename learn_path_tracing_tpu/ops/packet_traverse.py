@@ -342,6 +342,11 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
         ro2 = [rays_ref[_RO + d:_RO + d + 1, lo_l:hi_l] for d in range(3)]
         rd2 = [rays_ref[_RD + d:_RD + d + 1, lo_l:hi_l] for d in range(3)]
         inv2 = [1.0 / rd2[d] for d in range(3)]
+        # hoisted so the per-pop slab test is two FMAs per (dim, bound):
+        # (lo - ro) * inv recomputes ro*inv on every pop; lo*inv - roinv
+        # fuses to one multiply-subtract (t differs by <= 1 ulp — absorbed
+        # by the 1e-4 slab eps, orders of magnitude wider)
+        roinv2 = [ro2[d] * inv2[d] for d in range(3)]
 
         def leaf_runs(run_row):
             """Test one run row's 8 triangle slots against the sub-lanes."""
@@ -398,8 +403,8 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
                 for d in range(3):
                     lo = row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
                     hi = row[0, (3 + d) * 8:(4 + d) * 8].reshape(WIDTH, 1)
-                    ta = (lo - ro2[d]) * inv2[d]
-                    tb = (hi - ro2[d]) * inv2[d]
+                    ta = lo * inv2[d] - roinv2[d]
+                    tb = hi * inv2[d] - roinv2[d]
                     t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
                     t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
                 t_best2 = t_ref[0:1, lo_l:hi_l]
@@ -662,8 +667,9 @@ def _kernel_v3(nodes_ref, entries_ref, runs_ref, rays_ref, t_ref, prim_ref,
                 for d in range(3):
                     ro_t = rays_ref[_RO + d, pl.ds(j, 1), :]
                     iv = inv_ref[d, pl.ds(j, 1), :]
-                    ta = (los[d] - ro_t) * iv
-                    tb = (his[d] - ro_t) * iv
+                    roiv = ro_t * iv   # matches v2's hoisted roinv bitwise
+                    ta = los[d] * iv - roiv
+                    tb = his[d] * iv - roiv
                     t0v = jnp.maximum(t0v, jnp.minimum(ta, tb))
                     t1v = jnp.minimum(t1v, jnp.maximum(ta, tb))
                 t_b = t_ref[pl.ds(j, 1), :]

@@ -15,6 +15,16 @@ import warnings
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Persistent XLA compile cache for every profiler that imports this module:
+# full-graph compiles on the tunneled TPU runtime take 8-10 minutes, and
+# profilers re-run identical graphs constantly. Keyed on HLO, so code
+# changes invalidate exactly the affected entries.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_lpt_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 YOIMIYA = "/root/reference/legacy/Yoimiya.world.npy"
 
 
