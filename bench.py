@@ -61,7 +61,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from learn_path_tracing_tpu.integrator.persistent import render_persistent
-    from learn_path_tracing_tpu.utils.benchlib import time_fn
+    from learn_path_tracing_tpu.utils.benchlib import time_fn_async
 
     res = (args.width, args.height)
     if args.scene == "10_final":
@@ -101,8 +101,11 @@ def main():
         import jax.numpy as jnp
 
         # chunk the spp axis into separate device calls (watchdog-safe,
-        # same RNG counters as one call — chunks pipeline via async dispatch)
-        chunk = 128
+        # same RNG counters as one call — chunks pipeline via async dispatch).
+        # 512 = ~27 s of device time per call: comfortably under the 120 s
+        # watchdog while paying the tunnel's per-dispatch overhead (measured
+        # ~2.75 s/call on a degraded relay day, 2026-08-19) only twice.
+        chunk = 512
 
         def run_chunk(seed):
             # distinct seed per chunk = plain progressive MC accumulation
@@ -167,7 +170,13 @@ def main():
         }))
         return 0
 
-    dt, (img, segs) = time_fn(run, 0, iters=2)
+    # time_fn_async (queue N dispatches, force once) instead of time_fn:
+    # time_fn subtracts a separately-measured readback latency, and on the
+    # tunneled runtime that estimate can exceed the render time on a bad
+    # relay day (measured: a pool_div sweep read a nonsense 648 Mrays/s).
+    # For multi-second renders the single readback is <1% without any
+    # subtraction.
+    dt, (img, segs) = time_fn_async(run, 0, iters=3, warmup=1)
     mrays = float(segs) / dt / 1e6
     print(json.dumps({
         "metric": metric,

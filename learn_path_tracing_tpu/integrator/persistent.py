@@ -53,14 +53,15 @@ POOL_FLOOR = 57600
                                    "camera_model", "scene", "hit_backend",
                                    "engine", "pool_mult", "pool_div",
                                    "drain_ratio", "drain_floor",
-                                   "drain_unroll", "stats"))
+                                   "drain_unroll", "acc_split", "stats"))
 def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
                       limit: int = 32, seed=0, bsdf: str = "modern",
                       camera_model: str = "thinlens", scene: str = "spheres",
                       hit_backend: str = "auto", engine: str = "auto",
                       pool_mult: int = 0, pool_div: int = 0,
                       drain_ratio: int = 8, drain_floor: int = 0,
-                      drain_unroll: int = 0, stats: bool = False):
+                      drain_unroll: int = 0, acc_split: int = 0,
+                      stats: bool = False):
     """Returns (image f32[W,H,3], segments f32). Same sample values as
     wavefront.render; per-pixel sum order differs (~1 ulp).
 
@@ -85,7 +86,7 @@ def render_persistent(world_data, cam: CameraParams, resolution, spp: int,
     out = _persistent_core(
         world_data, cam, resolution, n, 0, 0, spp, limit, seed, bsdf,
         camera_model, scene, hit_backend, pool_mult, pool_div, drain_ratio,
-        drain_floor, drain_unroll, stats)
+        drain_floor, drain_unroll, acc_split, stats)
     if stats:
         acc_flat, segments, st = out
         return (acc_flat / spp).reshape(w, h, 3), segments, st
@@ -98,7 +99,8 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
                      bsdf: str, camera_model: str, scene: str,
                      hit_backend: str, pool_mult: int, pool_div: int,
                      drain_ratio: int, drain_floor: int = 0,
-                     drain_unroll: int = 0, stats: bool = False):
+                     drain_unroll: int = 0, acc_split: int = 0,
+                     stats: bool = False):
     """Persistent render over a pixel range and sample range.
 
     Traces samples ``[sample_base, sample_base + spp)`` of pixels
@@ -175,6 +177,15 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
             while pool // 2 >= POOL_FLOOR:
                 pool //= 2
             pool = -(-pool // spp) * spp
+            # Align the pool to whole 1024-lane kernel blocks when spp
+            # allows: 57600 lanes = 56.25 blocks pads 768 dead lanes into
+            # every intersect pass (1.3% pure waste). Floor to the largest
+            # block-aligned spp-multiple >= POOL_FLOOR/2.
+            import math
+
+            step = math.lcm(1024, spp)
+            if step <= pool and (pool // step) * step * 2 >= POOL_FLOOR:
+                pool = (pool // step) * step
     # items_per is a CEILING: pool need not divide n*spp — item slots whose
     # pixel lands past n are masked invalid in item_of and never traced.
     items_per = -(-(n * spp) // pool) if matmul_acc else spp
@@ -217,17 +228,50 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
     def cond(state):
         return state[-1] > 0.0
 
+    # Factorized one-hot accumulation (k = q*P + p via two small one-hots:
+    # tmp[g,r,p,c] = onehot_p * c elementwise, then a q-contraction).
+    # Identical term set per (g,q,p,c) cell — both one-hots are exact 0/1
+    # factors — so results differ from the flat path only by f32 add order
+    # within a cell (~1 ulp, the integrator's documented freedom).
+    # MEASURED SLOWER than the flat one-hot on the headline config
+    # (standalone 0.74 vs 0.52 ms/pass at items=1024/P=32; end-to-end
+    # 95.5 vs 97.6 Mrays/s, v5e 2026-08-20): the [g,spp,P,3] tmp expand
+    # plus the second one-hot cost more than the saved contraction width —
+    # XLA evidently does NOT pay the naive [g,spp,items] materialization
+    # bytes at large sizes (time1024's items≈16k runs fine on the flat
+    # path). Kept behind ``acc_split`` for ablation; 0 = flat (default).
+    _acc_P = 1
+    if matmul_acc and acc_split > 1 and items_per % acc_split == 0:
+        _acc_P = acc_split
+
     def accumulate(acc, k, pixel, contrib):
         """Add per-lane contributions to the accumulator.
 
-        matmul path: ``acc`` is ``f32[groups, spp, 3]`` indexed by
-        (lane//spp, k); one-hot over k rides the MXU as a batched
-        ``[spp,spp]x[spp,3]`` contraction — no scatter.
+        matmul path: ``acc`` is ``f32[groups, items_per, 3]`` indexed by
+        (lane//spp, k); one-hot(s) over k ride the MXU as batched
+        contractions — no scatter.
         """
         if not matmul_acc:
             return acc.at[pixel].add(contrib)
         k_g = k.reshape(groups, spp)
         c_g = contrib.reshape(groups, spp, 3)
+        if _acc_P > 1:
+            q_w = items_per // _acc_P
+            q_g = k_g // jnp.uint32(_acc_P)
+            p_g = k_g % jnp.uint32(_acc_P)
+            oh_p = (p_g[:, :, None]
+                    == jnp.arange(_acc_P, dtype=jnp.uint32)
+                    ).astype(jnp.float32)                  # [g, spp, P]
+            tmp = (oh_p[..., None] * c_g[:, :, None, :]
+                   ).reshape(groups, spp, _acc_P * 3)      # [g, spp, P*3]
+            oh_q = (q_g[:, :, None]
+                    == jnp.arange(q_w, dtype=jnp.uint32)
+                    ).astype(jnp.float32)                  # [g, spp, q_w]
+            delta = jax.lax.dot_general(
+                oh_q, tmp, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)       # [g, q_w, P*3]
+            return acc + delta.reshape(groups, items_per, 3)
         onehot = (k_g[:, :, None] == jnp.arange(items_per, dtype=jnp.uint32)
                   ).astype(jnp.float32)
         # precision=HIGHEST: default MXU precision would truncate the

@@ -99,3 +99,29 @@ def test_nondivisor_pool_matches_default():
     assert np.allclose(np.asarray(a_img), np.asarray(b_img),
                        rtol=0, atol=5e-7)
     assert float(a_seg) == float(b_seg)
+
+
+def test_factorized_accumulate_matches_flat():
+    """acc_split=P switches the accumulator to the factorized two-one-hot
+    routing (k = q*P + p) — kept as an ablation knob (measured slower than
+    the flat one-hot end-to-end on the headline, BASELINE.md round-3).
+    Same term set per (group, item) cell, so only f32 add order within a
+    cell may differ (~1 ulp) from the flat path — and both must match the
+    reference-mode wavefront image with exact segment counts."""
+    res = (32, 32)
+    world = stage8_scene()
+    cam = Camera(res)
+    cam.set_position((0, 0.4, 4))
+    wd = world.device()
+    # n=1024, spp=16, pool_div=16 -> pool=64, items_per=256 (factorized);
+    # pool_div=2 -> pool=512, items_per=32 (flat path)
+    a_img, a_seg = render_persistent(wd, cam.params(), res, spp=16, limit=6,
+                                     seed=7, pool_div=16, acc_split=16)
+    b_img, b_seg = render_persistent(wd, cam.params(), res, spp=16, limit=6,
+                                     seed=7, pool_div=2)
+    c_img, c_seg = render(wd, cam.params(), res, spp=16, limit=6, seed=7)
+    assert np.allclose(np.asarray(a_img), np.asarray(b_img),
+                       rtol=0, atol=5e-7)
+    assert np.allclose(np.asarray(a_img), np.asarray(c_img),
+                       rtol=0, atol=5e-7)
+    assert float(a_seg) == float(b_seg) == float(c_seg)
