@@ -1,0 +1,227 @@
+"""Cohort integrator: dense primary mega-pass + compacted secondary cascade.
+
+Motivation (BASELINE.md round-3): on the reference's mesh workloads most
+path segments are PRIMARY rays — at 640x360 on Yoimiya the mean path length
+is ~1.4 segments, so ~85% of all traversal work is camera rays, which the
+persistent integrator (integrator/persistent.py) nevertheless routes
+through the full wavefront pass body: treelet coherence sort, one-hot
+matmul accumulation, work-item regen. This integrator splits the render by
+bounce cohort instead, the way the workload is actually shaped:
+
+- **phase A (primaries)**: all ``n * chunk_spp`` camera rays of an spp-slab
+  are traced in ONE dense pass in pixel-major lane order. Escape radiance
+  accumulates with a reshape-sum over the sample axis — no one-hot matmul,
+  no scatter — occupancy is 100% by construction, and the BVH packet kernel
+  sees maximally coherent scanline-ordered rays (which traverse ~2.5x
+  faster than a sorted incoherent mix, scene/legacy_world.py sort note).
+- **phase B (secondaries)**: the ~hit-fraction of lanes whose primary ray
+  scattered are sort-compacted once and walked by a narrowing cascade (the
+  persistent drain's shape), with per-lane radiance CARRIED through the
+  compaction sorts and deposited by ONE scatter per cascade level instead
+  of one scatter (or one-hot matmul) per pass. A lane deposits exactly
+  once: when a level transition drops it, or in the final flush.
+
+Because there is no path regeneration, every live lane in phase B is at the
+same bounce index — the bounce counter is a loop SCALAR, not a per-lane
+vector, and each lane traces exactly one path.
+
+Per-sample radiance is bit-identical to integrator.persistent /
+integrator.wavefront: the counter RNG streams are keyed on absolute
+(pixel, sample, bounce) (camera rays draw STREAM_CAMERA at bounce 0, the
+k-th scatter draws STREAM_BSDF at bounce k), so every path consumes exactly
+the same uniforms. Only the per-pixel f32 summation order differs (~1 ulp,
+the integrator family's documented freedom); traced-segment counts match
+exactly (tests/test_cohort.py).
+
+Reference semantics covered: the wavefront propagate/scatter split of
+15_module.py:980-1036 with its 32-bounce budget (:1031) — phase A is the
+``camera.get_rays`` + first ``propagate_once`` pair, phase B the remaining
+bounce passes over the compacted live set (the sparse-SNode compaction of
+:1032-1034, realized as sort-compaction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf.bsdf import SCATTERERS
+from ..camera.camera import CameraParams, generate_rays_for_pixels
+from ..core import rng
+from ..core.types import Rays
+from .wavefront import _scene_fns
+
+
+def _r256(v):
+    return -(-v // 256) * 256
+
+
+@partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
+                                   "camera_model", "scene", "hit_backend",
+                                   "chunk_spp", "sec_ratio", "primary_sort",
+                                   "stats"))
+def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
+                  limit: int = 32, seed=0, bsdf: str = "legacy",
+                  camera_model: str = "jitter", scene: str = "legacy",
+                  hit_backend: str = "auto", chunk_spp: int = 0,
+                  sec_ratio: int = 4, primary_sort: bool | None = None,
+                  stats: bool = False):
+    """Returns (image f32[W,H,3], segments f32) — same sample values as
+    persistent/wavefront render; per-pixel sum order differs (~1 ulp).
+
+    ``chunk_spp``: samples per dense primary slab (0 = auto: largest
+    power-of-two divisor of spp keeping the slab under ~2M lanes).
+    ``sec_ratio``: cascade narrowing ratio for the secondary phase.
+    ``primary_sort``: coherence-sort override for the PRIMARY pass only
+    (legacy scenes; None = the hit path's default). Camera rays are already
+    scanline-coherent, so the sort usually costs more than it saves there.
+    """
+    w, h = resolution
+    n = w * h
+    if chunk_spp <= 0:
+        chunk_spp = 1
+        while spp % (chunk_spp * 2) == 0 and n * (chunk_spp * 2) <= (1 << 21):
+            chunk_spp *= 2
+    if spp % chunk_spp != 0:
+        raise ValueError(f"chunk_spp={chunk_spp} must divide spp={spp}")
+    n_chunks = spp // chunk_spp
+    L0 = n * chunk_spp
+    scatter = SCATTERERS[bsdf]
+    hit_fn, background_fn = _scene_fns(scene)
+    if scene == "legacy" and primary_sort is not None:
+        from ..scene.legacy_world import hit_legacy
+
+        def hit_primary(wd, r, hb):
+            return hit_legacy(wd, r, sort_rays=primary_sort)
+    else:
+        hit_primary = hit_fn
+
+    # Static cascade widths for phase B. The first level sits at
+    # L0/sec_ratio: with typical mesh hit fractions below 1/sec_ratio the
+    # full-width secondary loop runs ZERO passes and the first compaction
+    # happens immediately after phase A (when rad is still all-zero, so no
+    # deposit is needed there).
+    levels = []
+    lw = _r256(L0 // sec_ratio)
+    while 256 <= lw < (levels[-1] if levels else L0):
+        levels.append(lw)
+        lw = _r256(lw // sec_ratio)
+
+    def step_b(rays, rad, pixel, sample, bounce):
+        """One secondary bounce pass at the current width."""
+        hits = hit_fn(world_data, rays, hit_backend)
+        live = jnp.sum(rays.alive.astype(jnp.float32))
+        escaped = rays.alive & ~hits.hit
+        rad = rad + jnp.where(
+            escaped[:, None],
+            background_fn(world_data, rays.rd, escaped) * rays.throughput,
+            0.0)
+        base = rng.base(rng.stream(seed, sample, bounce, rng.STREAM_BSDF),
+                        pixel)
+        scattered = scatter(rays, hits, base)
+        survived = rays.alive & hits.hit & (bounce + 1 < jnp.uint32(limit))
+        rays = Rays(
+            ro=jnp.where(survived[:, None], scattered.ro, rays.ro),
+            rd=jnp.where(survived[:, None], scattered.rd, rays.rd),
+            throughput=jnp.where(survived[:, None], scattered.throughput,
+                                 rays.throughput),
+            alive=survived)
+        live_after = jnp.sum(survived.astype(jnp.float32))
+        return rays, rad, live, live_after
+
+    def compact(rays, rad, pixel, sample, width):
+        """Sort alive lanes to the front; keep ``width``; return the
+        dropped suffix's (pixel, rad) for deposit. Any permutation is
+        radiance-exact: every lane carries its own path state."""
+        key = (~rays.alive).astype(jnp.uint32)
+        (_, a, ro0, ro1, ro2, rd0, rd1, rd2, th0, th1, th2,
+         ra0, ra1, ra2, pix, smp) = jax.lax.sort(
+            (key, rays.alive, rays.ro[:, 0], rays.ro[:, 1], rays.ro[:, 2],
+             rays.rd[:, 0], rays.rd[:, 1], rays.rd[:, 2],
+             rays.throughput[:, 0], rays.throughput[:, 1],
+             rays.throughput[:, 2], rad[:, 0], rad[:, 1], rad[:, 2],
+             pixel, sample), num_keys=1)
+        rays = Rays(ro=jnp.stack([ro0[:width], ro1[:width], ro2[:width]], -1),
+                    rd=jnp.stack([rd0[:width], rd1[:width], rd2[:width]], -1),
+                    throughput=jnp.stack(
+                        [th0[:width], th1[:width], th2[:width]], -1),
+                    alive=a[:width])
+        rad_k = jnp.stack([ra0[:width], ra1[:width], ra2[:width]], -1)
+        rad_d = jnp.stack([ra0[width:], ra1[width:], ra2[width:]], -1)
+        return rays, rad_k, pix[:width], smp[:width], pix[width:], rad_d
+
+    def chunk_body(ci, carry):
+        acc, segments, passes_b = carry
+        sample_base = jnp.uint32(ci) * jnp.uint32(chunk_spp)
+        lanes = jnp.arange(L0, dtype=jnp.uint32)
+        pixel = lanes // jnp.uint32(chunk_spp)
+        sample = sample_base + lanes % jnp.uint32(chunk_spp)
+
+        # ---- phase A: dense primaries, pixel-major ----
+        rays = generate_rays_for_pixels(cam, resolution, pixel, seed, sample,
+                                        model=camera_model)
+        hits = hit_primary(world_data, rays, hit_backend)
+        segments = segments + jnp.float32(L0)
+        escaped = ~hits.hit
+        contrib = jnp.where(
+            escaped[:, None],
+            background_fn(world_data, rays.rd, escaped) * rays.throughput,
+            0.0)
+        acc = acc + contrib.reshape(n, chunk_spp, 3).sum(axis=1)
+
+        base = rng.base(rng.stream(seed, sample, 0, rng.STREAM_BSDF), pixel)
+        scattered = scatter(rays, hits, base)
+        survived = hits.hit & (1 < limit)
+        rays = Rays(ro=scattered.ro, rd=scattered.rd,
+                    throughput=scattered.throughput, alive=survived)
+        rad = jnp.zeros((L0, 3), jnp.float32)
+        live = jnp.sum(survived.astype(jnp.float32))
+
+        # ---- phase B: compacted secondary cascade ----
+        bounce0 = jnp.uint32(1)
+
+        def run_level(state, next_width):
+            rays, rad, pixel, sample, bounce, acc, segments, passes, live = \
+                state
+
+            def cond(s):
+                return s[-1] > jnp.float32(next_width)
+
+            def body(s):
+                rays, rad, pixel, sample, bounce, acc, segs, p, _ = s
+                rays, rad, live_in, live_out = step_b(rays, rad, pixel,
+                                                      sample, bounce)
+                return (rays, rad, pixel, sample, bounce + 1, acc,
+                        segs + live_in, p + 1.0, live_out)
+
+            return jax.lax.while_loop(cond, body, state)
+
+        state = (rays, rad, pixel, sample, bounce0, acc, segments,
+                 passes_b, live)
+        state = run_level(state, levels[0] if levels else 0)
+        for li, lw in enumerate(levels):
+            rays, rad, pixel, sample, bounce, acc, segments, passes_b, live \
+                = state
+            rays, rad, pixel, sample, pix_d, rad_d = compact(
+                rays, rad, pixel, sample, lw)
+            acc = acc.at[pix_d].add(rad_d)
+            state = (rays, rad, pixel, sample, bounce, acc, segments,
+                     passes_b, live)
+            state = run_level(
+                state, levels[li + 1] if li + 1 < len(levels) else 0)
+        rays, rad, pixel, sample, bounce, acc, segments, passes_b, live = \
+            state
+        acc = acc.at[pixel].add(rad)   # final flush (all lanes dead)
+        return acc, segments, passes_b
+
+    acc0 = jnp.zeros((n, 3), jnp.float32)
+    acc, segments, passes_b = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (acc0, jnp.float32(0.0), jnp.float32(0.0)))
+    img = (acc / spp).reshape(w, h, 3)
+    if stats:
+        return img, segments, {"chunk_spp": chunk_spp, "n_chunks": n_chunks,
+                               "levels": tuple(levels),
+                               "passes_b": passes_b}
+    return img, segments

@@ -703,12 +703,19 @@ def _hit_legacy_fused(world: LegacyWorldData, rays: Rays,
                           jnp.stack([a0, a1, a2], -1), rgho, meto, trao)
 
 
-def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits:
+def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON,
+               sort_rays: bool | None = None) -> Hits:
     """Nearest hit across sphere BVH + all mesh BVHs, with materials sampled
     from the texture atlas (15_module.py:838-848 + 864-953 semantics,
     including the reference's choices: triangle normal mapping disabled,
     sphere normal mapping enabled, fixed ior/absorptivity, and the
-    back-face flip with absorptivity zeroing from propagate_once :985-988)."""
+    back-face flip with absorptivity zeroing from propagate_once :985-988).
+
+    ``sort_rays`` overrides the coherence sort: None = default (sorted;
+    single-mesh worlds take the fused 2-sort path), False = traverse in
+    caller lane order (the right call for scanline-coherent primary
+    cohorts, where the sort costs more than it saves — see the note below),
+    True = force sorted."""
     n = rays.count
     ro, rd = rays.ro, rays.rd
 
@@ -726,7 +733,7 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
     on_accel = jax.default_backend() != "cpu" or interp
 
     if (on_accel and not interp and world.spheres is None
-            and len(world.meshes) == 1
+            and len(world.meshes) == 1 and sort_rays is not False
             and world.meshes[0].packet is not None and n >= 4096):
         # single-mesh worlds (all 4 character scenes + the flagship render)
         # take the 2-sort fused path — see _hit_legacy_fused. Below 4096
@@ -770,12 +777,15 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON) -> Hits
         src_best = jnp.where(better, 0, src_best)
 
     use_packet = on_accel
-    # Coherence sort stays ON: on synthetic scanline-ordered rays the sort
+    # Coherence sort default ON: on synthetic scanline-ordered rays the sort
     # costs more than it saves (10.7 vs 4.3 ms primary, profile_legacy2.py),
     # but in the real persistent pool drain compaction scrambles lane order
     # and the end-to-end ablation is decisive: 6.79 Mrays/s sorted vs 4.65
     # unsorted on the yoimiya bench (2026-08-17, Morton key + auto pool).
-    sort_rays = True
+    # The cohort integrator's dense primary pass IS scanline-ordered and
+    # passes sort_rays=False here.
+    if sort_rays is None:
+        sort_rays = True
     for k, mesh in enumerate(world.meshes):
         # seed best-t with prior structures' results: later BVHs prune
         # subtrees already occluded by earlier geometry
