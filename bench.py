@@ -33,6 +33,17 @@ def main():
                    help="persistent pool divisor override (0 = auto); "
                         "pool = n/pool_div lanes, each running "
                         "pool_div*spp work items")
+    p.add_argument("--engine", type=str, default="auto",
+                   choices=["auto", "persistent", "cohort"],
+                   help="auto: measured-best per scene (cohort for legacy "
+                        "mesh scenes, persistent for spheres); see "
+                        "integrator/cohort.py")
+    p.add_argument("--chunk-spp", type=int, default=0,
+                   help="cohort primary slab spp (0 = auto)")
+    p.add_argument("--sec-ratio", type=int, default=4,
+                   help="cohort secondary cascade narrowing ratio")
+    p.add_argument("--primary-sort", type=int, default=-1,
+                   help="cohort primary coherence sort: -1 auto, 0 off, 1 on")
     p.add_argument("--scene", type=str, default="10_final",
                    choices=["10_final", "yoimiya"],
                    help="10_final: sphere cover scene (headline); "
@@ -143,13 +154,36 @@ def main():
         }))
         return 0
 
-    def run(seed):
-        return render_persistent(wd, cp, res, spp=args.spp, limit=args.limit,
-                                 seed=seed, bsdf=bsdf, camera_model=cam_model,
-                                 scene=scene_kind,
+    engine = args.engine
+    if engine == "auto":
+        # cohort's first cut measured 6.51 Mrays/s vs persistent's 12.2 on
+        # yoimiya (2026-08-20) — persistent stays the default until the
+        # cohort pipeline wins end-to-end (profile_cohort.py tracks it).
+        engine = "persistent"
+
+    if engine == "cohort":
+        from learn_path_tracing_tpu.integrator.cohort import render_cohort
+
+        psort = None if args.primary_sort < 0 else bool(args.primary_sort)
+
+        def run(seed):
+            return render_cohort(wd, cp, res, spp=args.spp, limit=args.limit,
+                                 seed=seed, bsdf=bsdf,
+                                 camera_model=cam_model, scene=scene_kind,
                                  hit_backend=args.hit_backend,
-                                 pool_mult=args.pool_mult,
-                                 pool_div=args.pool_div)
+                                 chunk_spp=args.chunk_spp,
+                                 sec_ratio=args.sec_ratio,
+                                 primary_sort=psort)
+    else:
+        def run(seed):
+            return render_persistent(wd, cp, res, spp=args.spp,
+                                     limit=args.limit,
+                                     seed=seed, bsdf=bsdf,
+                                     camera_model=cam_model,
+                                     scene=scene_kind,
+                                     hit_backend=args.hit_backend,
+                                     pool_mult=args.pool_mult,
+                                     pool_div=args.pool_div)
 
     if args.flagship:
         # one frame = one device call (spp 32 fits the watchdog comfortably);

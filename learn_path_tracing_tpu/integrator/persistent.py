@@ -272,14 +272,28 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)       # [g, q_w, P*3]
             return acc + delta.reshape(groups, items_per, 3)
+        # Exact bf16-split accumulation on the DEFAULT MXU path. Default
+        # precision would truncate the radiance contributions to bf16
+        # (banding in smooth gradients) and precision=HIGHEST fixes that by
+        # running ~6 bf16 passes over BOTH operands — but the one-hot
+        # operand is exactly representable in bf16 (entries are 0/1), and
+        # an f32 contribution splits EXACTLY into 3 non-overlapping bf16
+        # parts (24 = 3x8 mantissa bits; each bf16xbf16 product is exact
+        # and the MXU accumulates in f32). One default-precision pass over
+        # [spp, 3*items] replaces HIGHEST's multi-pass split of both
+        # operands. Same term set per (g, item) cell — only f32 add
+        # order differs (~1 ulp, the integrator's documented freedom).
         onehot = (k_g[:, :, None] == jnp.arange(items_per, dtype=jnp.uint32)
-                  ).astype(jnp.float32)
-        # precision=HIGHEST: default MXU precision would truncate the
-        # radiance contributions to bf16 (banding in smooth gradients)
-        return acc + jax.lax.dot_general(
-            onehot, c_g, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+                  ).astype(jnp.bfloat16)
+        hi = c_g.astype(jnp.bfloat16)
+        r1 = c_g - hi.astype(jnp.float32)
+        lo = r1.astype(jnp.bfloat16)
+        lo2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+        c9 = jnp.concatenate([hi, lo, lo2], axis=-1)     # bf16 [g, spp, 9]
+        d = jax.lax.dot_general(
+            onehot, c9, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [g, items, 9]
+        return acc + (d[..., 0:3] + d[..., 3:6] + d[..., 6:9])
 
     def step(rays, k, bounce, pixel, sample, item_fn):
         """One bounce pass; shared by the full-width and drain loops.
