@@ -42,6 +42,12 @@ def main():
                    help="cohort primary slab spp (0 = auto)")
     p.add_argument("--sec-ratio", type=int, default=4,
                    help="cohort secondary cascade narrowing ratio")
+    p.add_argument("--sec-start-div", type=int, default=0,
+                   help="cohort first cascade level = slab/div (0 = ratio)")
+    p.add_argument("--defer-scatter", action="store_true",
+                   help="cohort: bounce-0 scatter after the first "
+                        "compaction (NaN-poisons if survivors overflow "
+                        "the first level)")
     p.add_argument("--primary-sort", type=int, default=-1,
                    help="cohort primary coherence sort: -1 auto, 0 off, 1 on")
     p.add_argument("--scene", type=str, default="10_final",
@@ -173,6 +179,8 @@ def main():
                                  hit_backend=args.hit_backend,
                                  chunk_spp=args.chunk_spp,
                                  sec_ratio=args.sec_ratio,
+                                 sec_start_div=args.sec_start_div,
+                                 defer_scatter=args.defer_scatter,
                                  primary_sort=psort)
     else:
         def run(seed):

@@ -60,13 +60,15 @@ def _r256(v):
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
-                                   "chunk_spp", "sec_ratio", "primary_sort",
-                                   "stats"))
+                                   "chunk_spp", "sec_ratio", "sec_start_div",
+                                   "primary_sort", "defer_scatter", "stats"))
 def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
                   limit: int = 32, seed=0, bsdf: str = "legacy",
                   camera_model: str = "jitter", scene: str = "legacy",
                   hit_backend: str = "auto", chunk_spp: int = 0,
-                  sec_ratio: int = 4, primary_sort: bool | None = None,
+                  sec_ratio: int = 4, sec_start_div: int = 0,
+                  primary_sort: bool | None = None,
+                  defer_scatter: bool = False,
                   stats: bool = False):
     """Returns (image f32[W,H,3], segments f32) — same sample values as
     persistent/wavefront render; per-pixel sum order differs (~1 ulp).
@@ -74,9 +76,20 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
     ``chunk_spp``: samples per dense primary slab (0 = auto: largest
     power-of-two divisor of spp keeping the slab under ~2M lanes).
     ``sec_ratio``: cascade narrowing ratio for the secondary phase.
+    ``sec_start_div``: first cascade level = L0 // sec_start_div (0 = use
+    sec_ratio); set it near 1/hit-fraction so the first level hugs the
+    real survivor count.
     ``primary_sort``: coherence-sort override for the PRIMARY pass only
     (legacy scenes; None = the hit path's default). Camera rays are already
     scanline-coherent, so the sort usually costs more than it saves there.
+    ``defer_scatter``: run the bounce-0 BSDF scatter AFTER the first
+    compaction (at first-level width instead of full slab width) by
+    carrying the scatter's hit inputs through the compaction sort. This
+    removes the full-width pre-cascade loop, so a slab whose survivor
+    count exceeds the first level CANNOT be rendered — that case poisons
+    the image with NaNs (loud, never silent) instead of dropping paths;
+    use defer_scatter=False (default, always correct) for close-up scenes
+    with hit fractions above ~1/sec_start_div.
     """
     w, h = resolution
     n = w * h
@@ -86,6 +99,8 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
             chunk_spp *= 2
     if spp % chunk_spp != 0:
         raise ValueError(f"chunk_spp={chunk_spp} must divide spp={spp}")
+    if n * spp >= (1 << 32):
+        raise ValueError("n*spp must fit u32 (work-item id packing)")
     n_chunks = spp // chunk_spp
     L0 = n * chunk_spp
     scatter = SCATTERERS[bsdf]
@@ -99,15 +114,21 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
         hit_primary = hit_fn
 
     # Static cascade widths for phase B. The first level sits at
-    # L0/sec_ratio: with typical mesh hit fractions below 1/sec_ratio the
-    # full-width secondary loop runs ZERO passes and the first compaction
-    # happens immediately after phase A (when rad is still all-zero, so no
-    # deposit is needed there).
+    # L0/sec_start_div (default sec_ratio): with typical mesh hit fractions
+    # below 1/sec_start_div the full-width secondary loop runs ZERO passes
+    # and the first compaction happens immediately after phase A (when rad
+    # is still all-zero, so no deposit is needed there).
+    if sec_start_div <= 0:
+        sec_start_div = sec_ratio
     levels = []
-    lw = _r256(L0 // sec_ratio)
+    lw = _r256(L0 // sec_start_div)
     while 256 <= lw < (levels[-1] if levels else L0):
         levels.append(lw)
         lw = _r256(lw // sec_ratio)
+    if defer_scatter and not levels:
+        raise ValueError("defer_scatter needs at least one cascade level "
+                         f"(slab {L0} too small for sec_start_div="
+                         f"{sec_start_div})")
 
     def step_b(rays, rad, pixel, sample, bounce):
         """One secondary bounce pass at the current width."""
@@ -134,15 +155,19 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
     def compact(rays, rad, pixel, sample, width):
         """Sort alive lanes to the front; keep ``width``; return the
         dropped suffix's (pixel, rad) for deposit. Any permutation is
-        radiance-exact: every lane carries its own path state."""
+        radiance-exact: every lane carries its own path state. (pixel,
+        sample) ride the sort packed as one u32 work-item id
+        (pixel * spp + sample — exact while n*spp fits u32, checked at
+        trace time), one sort operand instead of two."""
+        wid = pixel * jnp.uint32(spp) + sample
         key = (~rays.alive).astype(jnp.uint32)
         (_, a, ro0, ro1, ro2, rd0, rd1, rd2, th0, th1, th2,
-         ra0, ra1, ra2, pix, smp) = jax.lax.sort(
+         ra0, ra1, ra2, wid_s) = jax.lax.sort(
             (key, rays.alive, rays.ro[:, 0], rays.ro[:, 1], rays.ro[:, 2],
              rays.rd[:, 0], rays.rd[:, 1], rays.rd[:, 2],
              rays.throughput[:, 0], rays.throughput[:, 1],
              rays.throughput[:, 2], rad[:, 0], rad[:, 1], rad[:, 2],
-             pixel, sample), num_keys=1)
+             wid), num_keys=1)
         rays = Rays(ro=jnp.stack([ro0[:width], ro1[:width], ro2[:width]], -1),
                     rd=jnp.stack([rd0[:width], rd1[:width], rd2[:width]], -1),
                     throughput=jnp.stack(
@@ -150,7 +175,9 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
                     alive=a[:width])
         rad_k = jnp.stack([ra0[:width], ra1[:width], ra2[:width]], -1)
         rad_d = jnp.stack([ra0[width:], ra1[width:], ra2[width:]], -1)
-        return rays, rad_k, pix[:width], smp[:width], pix[width:], rad_d
+        return (rays, rad_k, wid_s[:width] // jnp.uint32(spp),
+                wid_s[:width] % jnp.uint32(spp),
+                wid_s[width:] // jnp.uint32(spp), rad_d)
 
     def chunk_body(ci, carry):
         acc, segments, passes_b = carry
@@ -171,21 +198,11 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
             0.0)
         acc = acc + contrib.reshape(n, chunk_spp, 3).sum(axis=1)
 
-        base = rng.base(rng.stream(seed, sample, 0, rng.STREAM_BSDF), pixel)
-        scattered = scatter(rays, hits, base)
         survived = hits.hit & (1 < limit)
-        rays = Rays(ro=scattered.ro, rd=scattered.rd,
-                    throughput=scattered.throughput, alive=survived)
-        rad = jnp.zeros((L0, 3), jnp.float32)
         live = jnp.sum(survived.astype(jnp.float32))
-
-        # ---- phase B: compacted secondary cascade ----
         bounce0 = jnp.uint32(1)
 
         def run_level(state, next_width):
-            rays, rad, pixel, sample, bounce, acc, segments, passes, live = \
-                state
-
             def cond(s):
                 return s[-1] > jnp.float32(next_width)
 
@@ -198,22 +215,110 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
 
             return jax.lax.while_loop(cond, body, state)
 
-        state = (rays, rad, pixel, sample, bounce0, acc, segments,
-                 passes_b, live)
-        state = run_level(state, levels[0] if levels else 0)
-        for li, lw in enumerate(levels):
-            rays, rad, pixel, sample, bounce, acc, segments, passes_b, live \
-                = state
-            rays, rad, pixel, sample, pix_d, rad_d = compact(
-                rays, rad, pixel, sample, lw)
-            acc = acc.at[pix_d].add(rad_d)
-            state = (rays, rad, pixel, sample, bounce, acc, segments,
+        if defer_scatter:
+            # Bounce-0 scatter AFTER the first compaction: carry the
+            # scatter's inputs (rd/throughput + hit point/normal/material)
+            # through the sort and shade only the first-level prefix. If
+            # live > levels[0] this formulation cannot proceed (there is no
+            # scattered full-width pool to fall back to) — poison the image
+            # with NaNs so the failure is loud, never a silent path drop.
+            from ..core.types import Hits, Materials
+
+            lvl0 = levels[0]
+            mat = hits.material
+            wid = pixel * jnp.uint32(spp) + sample
+            key = (~survived).astype(jnp.uint32)
+            (_, a, rd0, rd1, rd2, th0, th1, th2, pt0, pt1, pt2,
+             nm0, nm1, nm2, al0, al1, al2, rgh, met, ior_, tra, ab,
+             wid_s) = jax.lax.sort(
+                (key, survived,
+                 rays.rd[:, 0], rays.rd[:, 1], rays.rd[:, 2],
+                 rays.throughput[:, 0], rays.throughput[:, 1],
+                 rays.throughput[:, 2],
+                 hits.point[:, 0], hits.point[:, 1], hits.point[:, 2],
+                 hits.normal[:, 0], hits.normal[:, 1], hits.normal[:, 2],
+                 mat.albedo[:, 0], mat.albedo[:, 1], mat.albedo[:, 2],
+                 mat.roughness, mat.metallic, mat.ior, mat.transparency,
+                 mat.absorptivity, wid), num_keys=1)
+            alive_p = a[:lvl0]
+            pix_p = wid_s[:lvl0] // jnp.uint32(spp)
+            smp_p = wid_s[:lvl0] % jnp.uint32(spp)
+            rays_p = Rays(
+                ro=jnp.zeros((lvl0, 3), jnp.float32),
+                rd=jnp.stack([rd0[:lvl0], rd1[:lvl0], rd2[:lvl0]], -1),
+                throughput=jnp.stack(
+                    [th0[:lvl0], th1[:lvl0], th2[:lvl0]], -1),
+                alive=alive_p)
+            hits_p = Hits(
+                t=jnp.zeros((lvl0,), jnp.float32),
+                point=jnp.stack([pt0[:lvl0], pt1[:lvl0], pt2[:lvl0]], -1),
+                normal=jnp.stack([nm0[:lvl0], nm1[:lvl0], nm2[:lvl0]], -1),
+                uv=jnp.zeros((lvl0, 2), jnp.float32),
+                obj=jnp.zeros((lvl0,), jnp.int32),
+                hit=alive_p,
+                material=Materials(
+                    albedo=jnp.stack([al0[:lvl0], al1[:lvl0], al2[:lvl0]],
+                                     -1),
+                    roughness=rgh[:lvl0], metallic=met[:lvl0],
+                    ior=ior_[:lvl0], transparency=tra[:lvl0],
+                    absorptivity=ab[:lvl0]))
+            base = rng.base(rng.stream(seed, smp_p, 0, rng.STREAM_BSDF),
+                            pix_p)
+            sc = scatter(rays_p, hits_p, base)
+            # sanitize dead lanes: sorted-in garbage must not feed NaN/inf
+            # origins into the traversal kernels
+            unit_z = jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32), (lvl0, 3))
+            m = alive_p[:, None]
+            rays_b = Rays(ro=jnp.where(m, sc.ro, 0.0),
+                          rd=jnp.where(m, sc.rd, unit_z),
+                          throughput=jnp.where(m, sc.throughput, 0.0),
+                          alive=alive_p)
+            acc = acc + jnp.where(live > jnp.float32(lvl0), jnp.nan, 0.0)
+            state = (rays_b, jnp.zeros((lvl0, 3), jnp.float32), pix_p,
+                     smp_p, bounce0, acc, segments, passes_b, live)
+            state = run_level(
+                state, levels[1] if len(levels) > 1 else 0)
+            tail_levels = list(enumerate(levels))[1:]
+        else:
+            base = rng.base(rng.stream(seed, sample, 0, rng.STREAM_BSDF),
+                            pixel)
+            scattered = scatter(rays, hits, base)
+            rays = Rays(ro=scattered.ro, rd=scattered.rd,
+                        throughput=scattered.throughput, alive=survived)
+            rad = jnp.zeros((L0, 3), jnp.float32)
+
+            state = (rays, rad, pixel, sample, bounce0, acc, segments,
+                     passes_b, live)
+            state = run_level(state, levels[0] if levels else 0)
+            tail_levels = list(enumerate(levels))
+
+        fw_passes0 = passes_b
+        for li, lw in tail_levels:
+            rays, rad, pixel_c, sample_c, bounce, acc, segments, passes_b, \
+                live = state
+            rays, rad, pixel_c, sample_c, pix_d, rad_d = compact(
+                rays, rad, pixel_c, sample_c, lw)
+            if li == 0:
+                # In the common case (hit fraction < 1/sec_start_div) ZERO
+                # full-width secondary passes ran before this compaction, so
+                # the dropped suffix's carried radiance is identically zero —
+                # skip its deposit (an L0-wide scatter-add, the single most
+                # expensive op in the naive formulation) unless a full-width
+                # pass actually accumulated something.
+                acc = jax.lax.cond(
+                    passes_b > fw_passes0,
+                    lambda a: a.at[pix_d].add(rad_d),
+                    lambda a: a, acc)
+            else:
+                acc = acc.at[pix_d].add(rad_d)
+            state = (rays, rad, pixel_c, sample_c, bounce, acc, segments,
                      passes_b, live)
             state = run_level(
                 state, levels[li + 1] if li + 1 < len(levels) else 0)
-        rays, rad, pixel, sample, bounce, acc, segments, passes_b, live = \
-            state
-        acc = acc.at[pixel].add(rad)   # final flush (all lanes dead)
+        rays, rad, pixel_c, sample_c, bounce, acc, segments, passes_b, live \
+            = state
+        acc = acc.at[pixel_c].add(rad)   # final flush (all lanes dead)
         return acc, segments, passes_b
 
     acc0 = jnp.zeros((n, 3), jnp.float32)

@@ -56,26 +56,26 @@ def main():
             return generate_rays_for_pixels(cp, res, pixel, seed, sample,
                                             model="jitter")
 
-        dt, rays = time_fn_async(gen, 0, iters=8)
+        dt, rays = time_fn_async(gen, 0, iters=32)
         print(f"chunk={chunk} raygen           {dt*1e3:8.2f} ms", flush=True)
 
         for psort, tag in ((None, "sorted(fused)"), (False, "unsorted")):
             @jax.jit
-            def hitp(r, _psort=psort):
-                h = hit_legacy(wd, r, sort_rays=_psort)
+            def hitp(w, r, _psort=psort):
+                h = hit_legacy(w, r, sort_rays=_psort)
                 return h.t, h.hit
 
-            dt, (t, hm) = time_fn_async(hitp, rays, iters=8)
+            dt, (t, hm) = time_fn_async(hitp, wd, rays, iters=32)
             frac = float(jnp.mean(hm.astype(jnp.float32)))
             print(f"chunk={chunk} hit {tag:14s} {dt*1e3:8.2f} ms  "
                   f"hit_frac={frac:.3f}", flush=True)
 
         @jax.jit
-        def full_hit(r):
-            h = hit_legacy(wd, r)
+        def full_hit(w, r):
+            h = hit_legacy(w, r)
             esc = r.alive & ~h.hit
-            env = environment_color(wd.envs, wd.env_id, r.rd, mask=esc,
-                                    gradient_h=getattr(wd, "env_gradient_h",
+            env = environment_color(w.envs, w.env_id, r.rd, mask=esc,
+                                    gradient_h=getattr(w, "env_gradient_h",
                                                        None))
             contrib = jnp.where(esc[:, None], env * r.throughput, 0.0)
             acc = contrib.reshape(n, chunk, 3).sum(axis=1)
@@ -86,7 +86,7 @@ def main():
                        alive=surv)
             return acc, out
 
-        dt, (acc, rays2) = time_fn_async(full_hit, rays, iters=8)
+        dt, (acc, rays2) = time_fn_async(full_hit, wd, rays, iters=32)
         print(f"chunk={chunk} phaseA full      {dt*1e3:8.2f} ms", flush=True)
 
         rad = jnp.zeros((L0, 3), jnp.float32)
@@ -102,7 +102,7 @@ def main():
                 num_keys=1)
             return [o[:width] for o in outs[1:]]
 
-        dt, _ = time_fn_async(compact, rays2, rad, iters=8)
+        dt, _ = time_fn_async(compact, rays2, rad, iters=32)
         print(f"chunk={chunk} compact sort     {dt*1e3:8.2f} ms", flush=True)
 
     for cfg in [c for c in args.e2e.split(",") if c]:

@@ -105,3 +105,38 @@ def test_cohort_primary_sort_override_legacy():
     assert np.allclose(np.asarray(a_img), np.asarray(b_img),
                        rtol=0, atol=5e-7)
     assert float(a_seg) == float(b_seg)
+
+
+def test_cohort_defer_scatter_matches_default():
+    """defer_scatter moves the bounce-0 scatter after the first compaction;
+    same RNG counters, so results match the immediate-scatter path."""
+    wd = _mini_legacy_world()
+    cam = Camera(RES)
+    cam.set_position((0, 6, 30))       # far view: hit fraction well under
+    cam.look_at((0, 0.5, 0))           # 1/sec_start_div
+    a_img, a_seg = render_cohort(wd, cam.params(), RES, spp=2, limit=4,
+                                 seed=9, bsdf="legacy", scene="legacy",
+                                 camera_model="thinlens", chunk_spp=2)
+    b_img, b_seg = render_cohort(wd, cam.params(), RES, spp=2, limit=4,
+                                 seed=9, bsdf="legacy", scene="legacy",
+                                 camera_model="thinlens", chunk_spp=2,
+                                 defer_scatter=True)
+    assert np.isfinite(np.asarray(b_img)).all()
+    assert np.allclose(np.asarray(a_img), np.asarray(b_img),
+                       rtol=0, atol=5e-7)
+    assert float(a_seg) == float(b_seg)
+
+
+def test_cohort_defer_scatter_overflow_is_loud():
+    """A slab whose survivors exceed the first cascade level cannot render
+    under defer_scatter — the image must be NaN-poisoned, never silently
+    missing paths."""
+    wd = _mini_legacy_world()
+    cam = Camera(RES)
+    cam.set_position((0, 2.5, 0.5))    # looking straight down at the quad:
+    cam.look_at((0, 0.0, 0.0))         # ~every primary ray hits
+    img, _ = render_cohort(wd, cam.params(), RES, spp=2, limit=4, seed=9,
+                           bsdf="legacy", scene="legacy",
+                           camera_model="thinlens", chunk_spp=2,
+                           defer_scatter=True)
+    assert np.isnan(np.asarray(img)).any()
