@@ -34,10 +34,15 @@ def main():
                         "pool = n/pool_div lanes, each running "
                         "pool_div*spp work items")
     p.add_argument("--engine", type=str, default="auto",
-                   choices=["auto", "persistent", "cohort"],
-                   help="auto: measured-best per scene (cohort for legacy "
-                        "mesh scenes, persistent for spheres); see "
-                        "integrator/cohort.py")
+                   choices=["auto", "persistent", "cohort", "hybrid"],
+                   help="auto: measured-best per scene — currently "
+                        "persistent everywhere (cohort measured slower "
+                        "end-to-end; hybrid under evaluation, see "
+                        "integrator/hybrid.py)")
+    p.add_argument("--cap", type=int, default=0,
+                   help="hybrid survivor batch width (0 = auto: slab/8)")
+    p.add_argument("--pool-w", type=int, default=0,
+                   help="hybrid secondary pool width (0 = auto: slab/4)")
     p.add_argument("--chunk-spp", type=int, default=0,
                    help="cohort primary slab spp (0 = auto)")
     p.add_argument("--sec-ratio", type=int, default=4,
@@ -72,10 +77,18 @@ def main():
         args.scene = "yoimiya"
         args.width, args.height, args.spp = 3000, 2000, 32
 
+    import os
+
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Persistent XLA compile cache (keyed on HLO): full-graph compiles on
+    # the tunneled TPU runtime take minutes; repeat bench runs of unchanged
+    # code should not re-pay them.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_lpt_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from learn_path_tracing_tpu.integrator.persistent import render_persistent
     from learn_path_tracing_tpu.utils.benchlib import time_fn_async
@@ -167,7 +180,17 @@ def main():
         # cohort pipeline wins end-to-end (profile_cohort.py tracks it).
         engine = "persistent"
 
-    if engine == "cohort":
+    if engine == "hybrid":
+        from learn_path_tracing_tpu.integrator.hybrid import render_hybrid
+
+        def run(seed):
+            return render_hybrid(wd, cp, res, spp=args.spp, limit=args.limit,
+                                 seed=seed, bsdf=bsdf,
+                                 camera_model=cam_model, scene=scene_kind,
+                                 hit_backend=args.hit_backend,
+                                 chunk_spp=args.chunk_spp, cap=args.cap,
+                                 pool_w=args.pool_w)
+    elif engine == "cohort":
         from learn_path_tracing_tpu.integrator.cohort import render_cohort
 
         psort = None if args.primary_sort < 0 else bool(args.primary_sort)

@@ -89,7 +89,12 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
     count exceeds the first level CANNOT be rendered — that case poisons
     the image with NaNs (loud, never silent) instead of dropping paths;
     use defer_scatter=False (default, always correct) for close-up scenes
-    with hit fractions above ~1/sec_start_div.
+    with hit fractions above ~1/sec_start_div. CONTRACT: the Hits rebuilt
+    after the sort zero t/uv/obj — safe for the three current SCATTERERS,
+    which read only point/normal/material (bsdf/bsdf.py); a BSDF reading
+    uv or obj would shade wrong here and must extend the sort payload.
+    (integrator/hybrid.py supersedes this path: it regenerates primaries
+    from (pixel, sample) instead of carrying hit state through the sort.)
     """
     w, h = resolution
     n = w * h
@@ -284,8 +289,20 @@ def render_cohort(world_data, cam: CameraParams, resolution, spp: int,
             base = rng.base(rng.stream(seed, sample, 0, rng.STREAM_BSDF),
                             pixel)
             scattered = scatter(rays, hits, base)
-            rays = Rays(ro=scattered.ro, rd=scattered.rd,
-                        throughput=scattered.throughput, alive=survived)
+            # Scatter output is adopted WHOLESALE — miss lanes included. It
+            # is finite there only because every hit path clamps miss t to 0
+            # before computing hits.point (legacy_world._assemble_hits,
+            # world.hit's t_safe), so the BSDF sees point=ro / default
+            # normal on misses. Mask dead lanes to inert values so a future
+            # hit backend returning inf/NaN on miss cannot feed NaN origins
+            # into the next full-width traversal pass.
+            m = survived[:, None]
+            unit_z0 = jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32), (L0, 3))
+            rays = Rays(ro=jnp.where(m, scattered.ro, 0.0),
+                        rd=jnp.where(m, scattered.rd, unit_z0),
+                        throughput=jnp.where(m, scattered.throughput, 0.0),
+                        alive=survived)
             rad = jnp.zeros((L0, 3), jnp.float32)
 
             state = (rays, rad, pixel, sample, bounce0, acc, segments,

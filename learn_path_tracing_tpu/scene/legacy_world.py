@@ -131,6 +131,60 @@ def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
     )
 
 
+def _merge_mesh_geometry(meshes_geo):
+    """Concatenate N meshes' indexed geometry into one global index space.
+
+    ``meshes_geo``: iterable of (positions, normals, uvs, face_p, face_n,
+    face_t, face_tex) tuples. Returns one such tuple whose face arrays are
+    offset into the concatenated vertex tables and whose triangle order is
+    mesh-major — the same order ``_tri_attr_table`` packs attribute rows,
+    so global triangle ids index both consistently.
+
+    TPU-native multi-mesh: the reference walks one BVH per mesh and
+    min-reduces in World.hit (15_module.py:838-848) — which here would
+    launch one packet traversal (plus its coherence sorts) per mesh per
+    bounce. Merging all triangles under ONE global BVH makes an N-mesh
+    scene cost exactly one traversal launch per wavefront and lets it take
+    the fused single-structure hit path (_hit_legacy_fused)."""
+    ps, ns, us = [], [], []
+    fps, fns, fts, texs = [], [], [], []
+    po = no = uo = 0
+    for (p, n, u, fp, fn, ft, tex) in meshes_geo:
+        ps.append(np.asarray(p, np.float32))
+        ns.append(np.asarray(n, np.float32))
+        us.append(np.asarray(u, np.float32))
+        fps.append(np.asarray(fp, np.int64) + po)
+        fns.append(np.asarray(fn, np.int64) + no)
+        fts.append(np.asarray(ft, np.int64) + uo)
+        texs.append(np.asarray(tex, np.int32))
+        po += ps[-1].shape[0]
+        no += ns[-1].shape[0]
+        uo += us[-1].shape[0]
+    return (np.concatenate(ps), np.concatenate(ns), np.concatenate(us),
+            np.concatenate(fps), np.concatenate(fns), np.concatenate(fts),
+            np.concatenate(texs))
+
+
+def _build_mesh_devices(meshes_geo, mesh_max_depth, mesh_max_leaf,
+                        merge: bool = True):
+    """MeshDeviceData tuple for a list of mesh geometry tuples.
+
+    ``merge=True`` (default) returns ONE merged device mesh for multi-mesh
+    scenes (see _merge_mesh_geometry); ``merge=False`` keeps one device
+    structure per mesh (reference-parity mode, used with the serialized
+    per-mesh trees)."""
+    if merge and len(meshes_geo) > 1:
+        meshes_geo = [_merge_mesh_geometry(meshes_geo)]
+    devices = []
+    for (p, n, u, fp, fn, ft, tex) in meshes_geo:
+        tri_p = np.asarray(p)[np.asarray(fp)]
+        bvh = build_bvh(tri_p.min(axis=1), tri_p.max(axis=1),
+                        centroid=tri_p.mean(axis=1),
+                        max_depth=mesh_max_depth, max_leaf=mesh_max_leaf)
+        devices.append(_mesh_device(p, n, u, fp, fn, ft, tex, bvh))
+    return tuple(devices)
+
+
 def _tri_attr_table(meshes: tuple) -> jnp.ndarray | None:
     """Pack every mesh's triangle attributes into one f32[sum(T), 32] row
     table (see LegacyWorldData.tri_attr)."""
@@ -237,8 +291,16 @@ class LegacyWorld:
 
     # ------------------------------------------------------------- build --
     def build(self, mesh_max_depth=24, sphere_max_depth=12, max_leaf=8,
-              mesh_max_leaf=8, path_map=None) -> LegacyWorldData:
-        """Pack textures, build atlases and BVHs, upload device tables."""
+              mesh_max_leaf=8, path_map=None,
+              merge_meshes: bool = True) -> LegacyWorldData:
+        """Pack textures, build atlases and BVHs, upload device tables.
+
+        ``merge_meshes`` (default True): multi-mesh scenes traverse ONE
+        merged global BVH on device (see _merge_mesh_geometry) — one packet
+        launch per wavefront regardless of mesh count. Serialization keeps
+        the reference's per-mesh trees either way. False = one device
+        structure per mesh (the reference's World.hit composition,
+        15_module.py:838-848; kept for parity testing)."""
         self.textures.build()
         _default_environment(self.environments)
         self.environments.build()
@@ -249,6 +311,7 @@ class LegacyWorld:
             self.environments.configs,
             _content_size(self.environments.configs), path_map=path_map)
 
+        merge = merge_meshes and len(self.meshes) > 1
         mesh_records = []
         mesh_devices = []
         for mesh in self.meshes:
@@ -264,9 +327,11 @@ class LegacyWorld:
                             max_depth=mesh_max_depth, max_leaf=mesh_max_leaf)
             # (mesh_max_depth default below keeps reference parity for
             # serialization; traversal quality comes from the wide collapse)
-            mesh_devices.append(_mesh_device(
-                mesh.positions, mesh.normals, mesh.uvs,
-                mesh.face_p, mesh.face_n, mesh.face_t, mesh.face_tex, bvh))
+            if not merge:
+                mesh_devices.append(_mesh_device(
+                    mesh.positions, mesh.normals, mesh.uvs,
+                    mesh.face_p, mesh.face_n, mesh.face_t, mesh.face_tex,
+                    bvh))
             # leaf-ordered faces for reference-compatible serialization
             order = np.asarray(bvh.prim)
             mesh_records.append({
@@ -281,6 +346,11 @@ class LegacyWorld:
                 "positions": mesh.positions, "normals": mesh.normals,
                 "uvs": mesh.uvs,
             })
+        if merge:
+            mesh_devices = list(_build_mesh_devices(
+                [(m.positions, m.normals, m.uvs, m.face_p, m.face_n,
+                  m.face_t, m.face_tex) for m in self.meshes],
+                mesh_max_depth, mesh_max_leaf, merge=True))
 
         sphere_record = None
         sphere_device = None
@@ -345,7 +415,8 @@ class LegacyWorld:
 
     def load(self, filename, path_map=None,
              rebuild_bvh: bool = True,
-             textures_from_obj: str | None = None) -> LegacyWorldData:
+             textures_from_obj: str | None = None,
+             merge_meshes: bool = True) -> LegacyWorldData:
         """Load a .world.npy (either schema era).
 
         ``rebuild_bvh=True`` (default) rebuilds the acceleration structures
@@ -392,23 +463,26 @@ class LegacyWorld:
             self.environments.configs,
             _content_size(self.environments.configs), path_map=path_map)
 
-        mesh_devices = []
-        for rec in data["meshes_bvhs"]:
-            f = rec["faces"]
-            if rebuild_bvh:
-                tri_p = rec["positions"][f["p"]]
-                # max_leaf 8 fills one packet run row exactly. 4-prim leaves
-                # measured 7571 runs at 3.1 tris/run (double the pops);
-                # 12/16-prim leaves (2-row spill, supported) measured slower:
-                # Yoimiya secondary 12.79 ms (8) vs 13.48 (12) / 13.30 (16)
-                bvh = build_bvh(tri_p.min(axis=1), tri_p.max(axis=1),
-                                centroid=tri_p.mean(axis=1),
-                                max_depth=24, max_leaf=8)
-            else:
+        if rebuild_bvh:
+            # max_leaf 8 fills one packet run row exactly. 4-prim leaves
+            # measured 7571 runs at 3.1 tris/run (double the pops);
+            # 12/16-prim leaves (2-row spill, supported) measured slower:
+            # Yoimiya secondary 12.79 ms (8) vs 13.48 (12) / 13.30 (16).
+            # Multi-mesh files merge into ONE global BVH by default
+            # (merge_meshes; see _merge_mesh_geometry).
+            mesh_devices = list(_build_mesh_devices(
+                [(rec["positions"], rec["normals"], rec["uvs"],
+                  rec["faces"]["p"], rec["faces"]["n"], rec["faces"]["t"],
+                  rec["faces"]["tex"]) for rec in data["meshes_bvhs"]],
+                24, 8, merge=merge_meshes))
+        else:
+            mesh_devices = []
+            for rec in data["meshes_bvhs"]:
+                f = rec["faces"]
                 bvh = _bvh_from_record(rec)
-            mesh_devices.append(_mesh_device(
-                rec["positions"], rec["normals"], rec["uvs"],
-                f["p"], f["n"], f["t"], f["tex"], bvh))
+                mesh_devices.append(_mesh_device(
+                    rec["positions"], rec["normals"], rec["uvs"],
+                    f["p"], f["n"], f["t"], f["tex"], bvh))
 
         sphere_device = None
         if data["spheres_bvh"] is not None:
@@ -703,19 +777,17 @@ def _hit_legacy_fused(world: LegacyWorldData, rays: Rays,
                           jnp.stack([a0, a1, a2], -1), rgho, meto, trao)
 
 
-def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON,
-               sort_rays: bool | None = None) -> Hits:
-    """Nearest hit across sphere BVH + all mesh BVHs, with materials sampled
-    from the texture atlas (15_module.py:838-848 + 864-953 semantics,
-    including the reference's choices: triangle normal mapping disabled,
-    sphere normal mapping enabled, fixed ior/absorptivity, and the
-    back-face flip with absorptivity zeroing from propagate_once :985-988).
+def trace_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON,
+                 sort_rays: bool | None = None):
+    """Traversal-only nearest hit across sphere BVH + all mesh BVHs.
 
-    ``sort_rays`` overrides the coherence sort: None = default (sorted;
-    single-mesh worlds take the fused 2-sort path), False = traverse in
-    caller lane order (the right call for scanline-coherent primary
-    cohorts, where the sort costs more than it saves — see the note below),
-    True = force sorted."""
+    Returns ``(t_best f32[N] — +inf on miss, prim_best i32[N] — -1 on miss,
+    src_best i32[N] — -1 none / 0 spheres / 1+k mesh k)``. No attribute
+    gathers or atlas taps happen here; callers that defer shading to a
+    compacted survivor set (integrator/hybrid.py) pair this with
+    ``shade_from_trace`` at the narrow width. ``hit_legacy`` composes both
+    at full width (reference propagate_once hit semantics,
+    15_module.py:838-848)."""
     n = rays.count
     ro, rd = rays.ro, rays.rd
 
@@ -731,16 +803,6 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON,
 
     interp = _FORCE_ACCEL_INTERPRET
     on_accel = jax.default_backend() != "cpu" or interp
-
-    if (on_accel and not interp and world.spheres is None
-            and len(world.meshes) == 1 and sort_rays is not False
-            and world.meshes[0].packet is not None and n >= 4096):
-        # single-mesh worlds (all 4 character scenes + the flagship render)
-        # take the 2-sort fused path — see _hit_legacy_fused. Below 4096
-        # lanes (drain-cascade tails) the composed path is already sort-free
-        # (packet sort engages above RAY_BLOCK, attrs compaction above 4096)
-        # and therefore launches fewer kernels than the fused path would.
-        return _hit_legacy_fused(world, rays, eps=eps)
 
     if world.spheres is not None:
         s = world.spheres
@@ -808,16 +870,68 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON,
         prim_best = jnp.where(better, p, prim_best)
         src_best = jnp.where(better, 1 + k, src_best)
 
+    return t_best, prim_best, src_best
+
+
+def shade_from_trace(world: LegacyWorldData, rays: Rays, t_best, prim_best,
+                     src_best, count=None) -> Hits:
+    """Attribute shading + hit assembly for ``trace_legacy`` results.
+
+    Materials are sampled from the texture atlas (15_module.py:864-953
+    semantics: triangle normal mapping disabled, sphere normal mapping
+    enabled, fixed ior/absorptivity) and the back-face flip with ior
+    inversion + absorptivity zeroing from propagate_once (:985-988) is
+    applied. ``count`` (optional traced i32): callers that already hold
+    hit lanes as a PREFIX of the first ``count`` rows (compacted survivor
+    batches) pass it so the row-count-bound gathers run on the narrowest
+    static prefix; default applies _shade_attrs' own hit compaction."""
     hit_mask = jnp.isfinite(t_best)
     t_safe = jnp.where(hit_mask, t_best, 0.0)
-    point = ro + t_safe[:, None] * rd
+    point = rays.ro + t_safe[:, None] * rays.rd
     pidx = jnp.maximum(prim_best, 0)
 
-    normal, uv, albedo, roughness, metallic, transparency = _shade_attrs(
-        world, point, pidx, src_best, hit_mask)
+    if count is not None:
+        normal, uv, albedo, roughness, metallic, transparency = \
+            _attrs_switch(world, point, pidx, src_best, hit_mask, count)
+    else:
+        normal, uv, albedo, roughness, metallic, transparency = _shade_attrs(
+            world, point, pidx, src_best, hit_mask)
 
     return _assemble_hits(world, rays, t_best, prim_best, hit_mask, normal,
                           uv, albedo, roughness, metallic, transparency)
+
+
+def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON,
+               sort_rays: bool | None = None) -> Hits:
+    """Nearest hit across sphere BVH + all mesh BVHs, with materials sampled
+    from the texture atlas (15_module.py:838-848 + 864-953 semantics,
+    including the reference's choices: triangle normal mapping disabled,
+    sphere normal mapping enabled, fixed ior/absorptivity, and the
+    back-face flip with absorptivity zeroing from propagate_once :985-988).
+
+    ``sort_rays`` overrides the coherence sort: None = default (sorted;
+    single-mesh worlds take the fused 2-sort path), False = traverse in
+    caller lane order (the right call for scanline-coherent primary
+    cohorts, where the sort costs more than it saves — see trace_legacy),
+    True = force sorted."""
+    import jax
+
+    n = rays.count
+    interp = _FORCE_ACCEL_INTERPRET
+    on_accel = jax.default_backend() != "cpu" or interp
+    if (on_accel and not interp and world.spheres is None
+            and len(world.meshes) == 1 and sort_rays is not False
+            and world.meshes[0].packet is not None and n >= 4096):
+        # single-mesh worlds (all 4 character scenes + the flagship render)
+        # take the 2-sort fused path — see _hit_legacy_fused. Below 4096
+        # lanes (drain-cascade tails) the composed path is already sort-free
+        # (packet sort engages above RAY_BLOCK, attrs compaction above 4096)
+        # and therefore launches fewer kernels than the fused path would.
+        return _hit_legacy_fused(world, rays, eps=eps)
+
+    t_best, prim_best, src_best = trace_legacy(world, rays, eps=eps,
+                                               sort_rays=sort_rays)
+    return shade_from_trace(world, rays, t_best, prim_best, src_best)
 
 
 def environment_color(envs: StripAtlas, env_id, rd, mask=None,
