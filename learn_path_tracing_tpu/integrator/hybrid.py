@@ -81,7 +81,7 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
                   camera_model: str = "jitter", scene: str = "legacy",
                   hit_backend: str = "auto", chunk_spp: int = 0,
                   cap: int = 0, pool_w: int = 0, drain_ratio: int = 8,
-                  stats: bool = False):
+                  sample_base=0, stats: bool = False):
     """Returns (image f32[W,H,3], segments f32) — same sample values as
     persistent/wavefront render; per-pixel sum order differs (~1 ulp).
 
@@ -91,6 +91,10 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
     ``cap`` spill into multiple merge rounds — no overflow failure mode.
     ``pool_w``: secondary pool width (0 = auto: slab/4).
     ``drain_ratio``: narrowing ratio of the end-of-render cascade.
+    ``sample_base`` (traced u32): absolute sample index of this call's
+    first sample — progressive accumulation renders samples
+    [sample_base, sample_base + spp) with the same RNG counters the
+    one-shot render draws for them (viewer/progressive.py).
     """
     if scene != "legacy":
         raise ValueError("render_hybrid targets legacy mesh scenes; use "
@@ -121,6 +125,7 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
     scatter = SCATTERERS[bsdf]
     hit_fn, background_fn = _scene_fns(scene)
     uspp = jnp.uint32(spp)
+    sample_base = jnp.uint32(sample_base)
 
     # ---------------------------------------------------- pool machinery --
     # Pool state tuple P = (ro, rd, thp, rad, wid, bounce, alive); every
@@ -137,7 +142,7 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
             escaped[:, None],
             background_fn(world_data, rd, escaped) * thp, 0.0)
         pix = wid // uspp
-        smp = wid % uspp
+        smp = wid % uspp + sample_base
         base = rng.base(rng.stream(seed, smp, bounce, rng.STREAM_BSDF), pix)
         sc = scatter(rays, hits, base)
         survived = alive & hits.hit & (bounce + 1 < jnp.uint32(limit))
@@ -226,7 +231,8 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
 
         # ---- phase A: dense unsorted pixel-major primaries, trace only ----
         rays = generate_rays_for_pixels(cam, resolution, pixel_a, seed,
-                                        sample_a, model=camera_model)
+                                        sample_a + sample_base,
+                                        model=camera_model)
         t, prim, src = trace_legacy(world_data, rays, sort_rays=False)
         segments = segments + jnp.float32(L0)
         hitm = jnp.isfinite(t)
@@ -270,7 +276,7 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
             # regen + deferred shading + bounce-0 scatter at batch width:
             # primaries are pure functions of (pixel, sample, seed)
             pixb = widb // uspp
-            smpb = widb % uspp
+            smpb = widb % uspp + sample_base
             raysb = generate_rays_for_pixels(cam, resolution, pixb, seed,
                                              smpb, model=camera_model)
             validb = jnp.arange(cap, dtype=jnp.uint32) < batch_n

@@ -136,6 +136,106 @@ def pack_packet_tables(wbvh: WideBVH, v0, v1, v2):
             jnp.asarray(np.stack(runs)))
 
 
+def nodes_to_bf16(nodes):
+    """bf16 copy of a packet ``nodes`` table with OUTWARD rounding: lo
+    columns round toward -inf, hi columns toward +inf, so every bf16 box
+    contains its f32 box (the exact-superset half of the bf16-slab
+    ablation; see _kernel_v2's bf16_slab note for the half it cannot
+    give you)."""
+    import ml_dtypes
+
+    nodes = np.asarray(nodes, np.float32)
+    near = nodes.astype(ml_dtypes.bfloat16)
+    back = near.astype(np.float32)
+    bits = near.view(np.uint16)
+    # step one bf16 ulp away from zero / toward the required direction
+    def step(b, up):
+        # up=True: toward +inf; works across signs via sign-magnitude ulp
+        pos = (b & 0x8000) == 0
+        inc = np.where(pos == up, b + 1, b - 1).astype(np.uint16)
+        # zero crossing: -0/+0 handled by flipping to smallest magnitude
+        inc = np.where((b & 0x7FFF) == 0,
+                       np.uint16(1) | np.where(up, 0, 0x8000).astype(
+                           np.uint16), inc)
+        return inc
+
+    out = bits.copy()
+    for d in range(3):          # lo columns: need bf16 <= f32
+        cols = slice(d * 8, (d + 1) * 8)
+        need = back[:, cols] > nodes[:, cols]
+        out[:, cols] = np.where(need, step(bits[:, cols], up=False),
+                                bits[:, cols])
+    for d in range(3, 6):       # hi columns: need bf16 >= f32
+        cols = slice(d * 8, (d + 1) * 8)
+        need = back[:, cols] < nodes[:, cols]
+        out[:, cols] = np.where(need, step(bits[:, cols], up=True),
+                                bits[:, cols])
+    return jnp.asarray(out.view(ml_dtypes.bfloat16).astype(jnp.bfloat16))
+
+
+def pack_sphere_packet_tables(wbvh: WideBVH, centers, radii, transparency):
+    """Build packet-kernel tables for a sphere-leaf wide BVH.
+
+    Same (nodes, entries, runs) contract as ``pack_packet_tables`` but each
+    run row packs up to 8 SPHERES in quadratic-coefficient form: cols
+    ``k*8 + j`` for k = (cx, cy, cz, r^2, flag) with flag 1 = opaque,
+    2 = transparent (the far-root rule of the reference's sphere_hit,
+    15_module.py:864-896 / 8_refract/world.py:55-56); empty slots carry
+    r^2 = -inf so their discriminant is -inf and never hits. This is the
+    device-side sphere BVH the reference traverses (11_bvh.py:331-380),
+    realized as packet traversal — used above the brute-scan ceiling where
+    O(S)-per-ray stops being the right trade (scene/legacy_world.py).
+    """
+    m = wbvh.child_entry.shape[0]
+    child_entry = np.asarray(wbvh.child_entry)
+    child_low = np.asarray(wbvh.child_low)
+    child_high = np.asarray(wbvh.child_high)
+    prim = np.asarray(wbvh.prim)
+    centers = np.asarray(centers, np.float32)
+    radii = np.asarray(radii, np.float32)
+    transparency = np.asarray(transparency, np.float32)
+
+    nodes = np.zeros((m, 128), np.float32)
+    for d in range(3):
+        nodes[:, d * 8:(d + 1) * 8] = child_low[:, :, d]
+        nodes[:, (3 + d) * 8:(4 + d) * 8] = child_high[:, :, d]
+
+    entries = np.full((m, 128), _PAD, np.int32)
+    runs = []
+    for i in range(m):
+        for c in range(WIDTH):
+            e = int(child_entry[i, c])
+            if e == _PAD:
+                continue
+            if e >= 0:
+                entries[i, c] = e
+                continue
+            start, count = decode_leaf(np.int32(e))
+            start, count = int(start), int(count)
+            if count > 2 * SLOTS:
+                raise ValueError(
+                    f"leaf run of {count} spheres exceeds the kernels' "
+                    f"2-row unroll (max_leaf <= {2 * SLOTS})")
+            entries[i, c] = -(len(runs) * _ENC + count + 1)
+            for r0 in range(0, count, SLOTS):
+                row = np.zeros((128,), np.float32)
+                row[3 * WIDTH:4 * WIDTH] = -np.inf   # empty: r^2 = -inf
+                for j in range(min(SLOTS, count - r0)):
+                    p = int(prim[start + r0 + j])
+                    row[_PRIM_COL + j] = float(p)
+                    row[0 * WIDTH + j] = centers[p, 0]
+                    row[1 * WIDTH + j] = centers[p, 1]
+                    row[2 * WIDTH + j] = centers[p, 2]
+                    row[3 * WIDTH + j] = radii[p] * radii[p]
+                    row[4 * WIDTH + j] = 2.0 if transparency[p] > 0 else 1.0
+                runs.append(row)
+    if not runs:
+        runs.append(np.zeros((128,), np.float32))
+        runs[0][3 * WIDTH:4 * WIDTH] = -np.inf
+    return (jnp.asarray(nodes), jnp.asarray(entries),
+            jnp.asarray(np.stack(runs)))
+
+
 def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
             prim_ref, iters_ref, stack_ref, stack_t_ref, cnt_ref, *, eps,
             max_iters, cap):
@@ -287,9 +387,9 @@ def _kernel(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
     iters_ref[0, :] = jnp.full((b,), it_final, jnp.int32)
 
 
-def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
-               prim_ref, iters_ref, stack_ref, stack_t_ref, cnt_ref, cap_ref,
-               *, eps, max_iters, cap, nstacks=1):
+def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, *rest,
+               eps, max_iters, cap, nstacks=1, leaf_kind="tri",
+               seed_init=False):
     """Inline-leaf ordered packet traversal (v2).
 
     Telemetry on the v1 kernel (scripts/profile_packet_stats.py, Yoimiya
@@ -324,17 +424,53 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
     for nstacks 1/2/4 on v5e — per-pop cost tracks pure vector throughput,
     so sub-packets only add per-pop overhead). Kept at default 1; exact
     results for any value (tested).
+
+    ``seed_init``: treelet-restart mode (packet_traverse_sorted's
+    restart=True): an extra SMEM operand carries, per block, up to 8 stack
+    entry codes — the depth-2 treelets some lane of the block ENTERS — and
+    their count at col 8. Traversal starts from those (entry distance 0,
+    never stale-pruned) instead of the root. Exact: a lane can only hit a
+    primitive whose depth-2 ancestor treelet it enters (eps-relaxed slab
+    nesting — the same "hit => entered" property the entered-prefix gate
+    relies on), so the seeded reachable set equals the root walk's minus
+    the top two levels. Blocks whose treelet union exceeds 8 carry count 0
+    and fall back to the root walk.
     """
+    if seed_init:
+        (seed_ref, t_ref, prim_ref, iters_ref, stack_ref, stack_t_ref,
+         cnt_ref, cap_ref) = rest
+    else:
+        (t_ref, prim_ref, iters_ref, stack_ref, stack_t_ref,
+         cnt_ref, cap_ref) = rest
+    bf16_slab = nodes_ref.dtype == jnp.bfloat16
     b = rays_ref.shape[1]
     sb = b // nstacks
     t_ref[0, :] = rays_ref[_TINIT, :]
     prim_ref[0, :] = jnp.full((b,), -1, jnp.int32)
     imax = jnp.int32(np.int32(2**31 - 1))
     slot8 = jax.lax.broadcasted_iota(jnp.int32, (WIDTH, 1), 0)
+    sp0 = jnp.int32(0)
     for h in range(nstacks):
         stack_ref[h * cap] = jnp.int32(0)   # root node
         stack_t_ref[h * cap] = jnp.float32(0.0)
         cap_ref[h] = jnp.max(rays_ref[_TINIT, h * sb:(h + 1) * sb])
+    if seed_init:
+        if nstacks != 1:
+            raise ValueError("seed_init requires nstacks == 1")
+        blk = pl.program_id(0)
+        scnt = seed_ref[blk, WIDTH]
+        use_seed = (scnt >= 1) & (scnt <= WIDTH)
+
+        @pl.when(use_seed)
+        def _seed():
+            def sbody(j, _):
+                stack_ref[j] = seed_ref[blk, j]
+                stack_t_ref[j] = jnp.float32(0.0)
+                return 0
+
+            lax.fori_loop(0, scnt, sbody, 0)
+
+        sp0 = jnp.where(use_seed, scnt - 1, jnp.int32(0))
 
     def _make_half(h):
         """Closures for sub-packet ``h``: lanes [h*sb, (h+1)*sb)."""
@@ -347,27 +483,53 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
         # fuses to one multiply-subtract (t differs by <= 1 ulp — absorbed
         # by the 1e-4 slab eps, orders of magnitude wider)
         roinv2 = [ro2[d] * inv2[d] for d in range(3)]
+        if bf16_slab:
+            inv16 = [inv2[d].astype(jnp.bfloat16) for d in range(3)]
+            roinv16 = [roinv2[d].astype(jnp.bfloat16) for d in range(3)]
+            eps16 = jnp.bfloat16(eps)
 
         def leaf_runs(run_row):
-            """Test one run row's 8 triangle slots against the sub-lanes."""
+            """Test one run row's 8 primitive slots against the sub-lanes.
+
+            leaf_kind='tri': plane/barycentric coefficient test (the packed
+            form of 15_module.py:909-953). leaf_kind='sphere': quadratic
+            with the reference's transparent far-root rule (:864-896);
+            assumes |rd| = 1 (every ray source normalizes)."""
             row = runs_ref[pl.ds(run_row, 1), :]
 
             def coef(k):
                 return row[0, k * WIDTH:(k + 1) * WIDTH].reshape(WIDTH, 1)
 
-            denom = (rd2[0] * coef(0) + rd2[1] * coef(1) + rd2[2] * coef(2))
-            ron = (ro2[0] * coef(0) + ro2[1] * coef(1) + ro2[2] * coef(2))
-            t = (coef(3) - ron) / denom
-            w1 = (ro2[0] * coef(4) + ro2[1] * coef(5) + ro2[2] * coef(6)
-                  + t * (rd2[0] * coef(4) + rd2[1] * coef(5)
-                         + rd2[2] * coef(6)) + coef(7))
-            w2 = (ro2[0] * coef(8) + ro2[1] * coef(9) + ro2[2] * coef(10)
-                  + t * (rd2[0] * coef(8) + rd2[1] * coef(9)
-                         + rd2[2] * coef(10)) + coef(11))
-            w3 = 1.0 - w1 - w2
             t_b = t_ref[0, lo_l:hi_l]
-            ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
-                  & (t < t_b[None, :]))                     # [8,SB]
+            if leaf_kind == "sphere":
+                ocx = ro2[0] - coef(0)
+                ocy = ro2[1] - coef(1)
+                ocz = ro2[2] - coef(2)
+                half_b = ocx * rd2[0] + ocy * rd2[1] + ocz * rd2[2]
+                cterm = ocx * ocx + ocy * ocy + ocz * ocz - coef(3)
+                disc = half_b * half_b - cterm
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t_near = -half_b - sq
+                t = jnp.where((t_near < eps) & (coef(4) > 1.5),
+                              -half_b + sq, t_near)
+                # empty slots: r^2 = -inf => disc = -inf => never ok
+                ok = ((disc >= 0.0) & (t > eps) & (t < t_b[None, :]))
+            else:
+                denom = (rd2[0] * coef(0) + rd2[1] * coef(1)
+                         + rd2[2] * coef(2))
+                ron = (ro2[0] * coef(0) + ro2[1] * coef(1)
+                       + ro2[2] * coef(2))
+                t = (coef(3) - ron) / denom
+                w1 = (ro2[0] * coef(4) + ro2[1] * coef(5) + ro2[2] * coef(6)
+                      + t * (rd2[0] * coef(4) + rd2[1] * coef(5)
+                             + rd2[2] * coef(6)) + coef(7))
+                w2 = (ro2[0] * coef(8) + ro2[1] * coef(9)
+                      + ro2[2] * coef(10)
+                      + t * (rd2[0] * coef(8) + rd2[1] * coef(9)
+                             + rd2[2] * coef(10)) + coef(11))
+                w3 = 1.0 - w1 - w2
+                ok = ((t > eps) & (w1 > 0.0) & (w2 > 0.0) & (w3 > 0.0)
+                      & (t < t_b[None, :]))                 # [8,SB]
             t_masked = jnp.where(ok, t, jnp.inf)
             t_new = jnp.min(t_masked, axis=0)               # [SB]
             improved = jnp.isfinite(t_new) & (t_new < t_b)
@@ -398,18 +560,43 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
             @pl.when(live)
             def _node():
                 row = nodes_ref[pl.ds(code, 1), :]
-                t0 = jnp.full((WIDTH, sb), -jnp.inf, jnp.float32)
-                t1 = jnp.full((WIDTH, sb), jnp.inf, jnp.float32)
-                for d in range(3):
-                    lo = row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
-                    hi = row[0, (3 + d) * 8:(4 + d) * 8].reshape(WIDTH, 1)
-                    ta = lo * inv2[d] - roinv2[d]
-                    tb = hi * inv2[d] - roinv2[d]
-                    t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
-                    t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
-                t_best2 = t_ref[0:1, lo_l:hi_l]
-                lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
-                            & (t0 < t_best2 + eps))            # [8,SB]
+                if bf16_slab:
+                    # bf16 slab ablation: boxes are outward-rounded bf16
+                    # (nodes_to_bf16) and the whole [8,SB] slab pipeline
+                    # runs in bf16 — including the ray terms, whose
+                    # rounding is NOT direction-controlled, so unlike the
+                    # box rounding this is not provably conservative
+                    # (near-tangent rays within ~2^-8 relative of a box
+                    # face may flip). Measurement-only knob, never default.
+                    bmax = jnp.bfloat16(3.0e38)
+                    t0 = jnp.full((WIDTH, sb), -bmax, jnp.bfloat16)
+                    t1 = jnp.full((WIDTH, sb), bmax, jnp.bfloat16)
+                    for d in range(3):
+                        lo = row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
+                        hi = row[0, (3 + d) * 8:(4 + d) * 8].reshape(
+                            WIDTH, 1)
+                        ta = lo * inv16[d] - roinv16[d]
+                        tb = hi * inv16[d] - roinv16[d]
+                        t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+                        t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+                    tb16 = t_ref[0:1, lo_l:hi_l].astype(jnp.bfloat16)
+                    lane_hit = ((t1 > t0 - eps16) & (t1 > 0.0)
+                                & (t0 < tb16 + eps16))         # [8,SB]
+                    t0 = t0.astype(jnp.float32)
+                else:
+                    t0 = jnp.full((WIDTH, sb), -jnp.inf, jnp.float32)
+                    t1 = jnp.full((WIDTH, sb), jnp.inf, jnp.float32)
+                    for d in range(3):
+                        lo = row[0, d * 8:(d + 1) * 8].reshape(WIDTH, 1)
+                        hi = row[0, (3 + d) * 8:(4 + d) * 8].reshape(
+                            WIDTH, 1)
+                        ta = lo * inv2[d] - roinv2[d]
+                        tb = hi * inv2[d] - roinv2[d]
+                        t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+                        t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+                    t_best2 = t_ref[0:1, lo_l:hi_l]
+                    lane_hit = ((t1 > t0 - eps) & (t1 > 0.0)
+                                & (t0 < t_best2 + eps))        # [8,SB]
                 ent = entries_ref[pl.ds(code, 1), 0:WIDTH].reshape(WIDTH, 1)
                 hitt = jnp.where(lane_hit, jnp.maximum(t0, 0.0), jnp.inf)
                 # two-stage lane reduce: fold the SB/128 lane-tiles with
@@ -535,7 +722,8 @@ def _kernel_v2(nodes_ref, entries_ref, runs_ref, rays_ref, entn_ref, t_ref,
     @pl.when(run_block)
     def _traverse():
         out = lax.while_loop(cond, body,
-                             (*([jnp.int32(0)] * nstacks), jnp.int32(0)))
+                             (sp0, *([jnp.int32(0)] * (nstacks - 1)),
+                              jnp.int32(0)))
         iters_ref[0, :] = jnp.full((b,), out[-1], jnp.int32)
 
 
@@ -800,8 +988,26 @@ def treelet_boxes(nodes, entries):
     return (lo.reshape(WIDTH * WIDTH, 3), hi.reshape(WIDTH * WIDTH, 3))
 
 
+def treelet_seed_codes(nodes, entries):
+    """i32[64] stack entry code of each depth-2 treelet slot, aligned with
+    ``treelet_boxes``'s 64 rows: root child c's grandchild g sits at
+    c*8 + g; a root child that is itself a leaf run occupies slot c*8 + 0
+    with its own leaf code; empty slots carry _PAD. Constant per mesh —
+    compute once at build time (used by the treelet-restart traversal
+    seeds, packet_traverse_sorted(restart=True))."""
+    m = nodes.shape[0]
+    ent0 = entries[0, 0:WIDTH]                                   # [8]
+    grand = jnp.take(entries, jnp.clip(ent0, 0, m - 1),
+                     axis=0)[:, 0:WIDTH]                         # [8,8]
+    is_node = (ent0 >= 0)[:, None]
+    self_slot = (jnp.arange(WIDTH) == 0)[None, :]
+    codes = jnp.where(is_node, grand,
+                      jnp.where(self_slot, ent0[:, None], jnp.int32(_PAD)))
+    return codes.reshape(WIDTH * WIDTH).astype(jnp.int32)
+
+
 def _treelet_entry_key(nodes, entries, ro, rd, eps: float = 0.0,
-                       treelets=None):
+                       treelets=None, want_mask: bool = False):
     """Sort key = the two nearest depth-2 subtrees ("treelets") each ray
     actually ENTERS, found by dense slab tests against the <=64 grandchild
     AABBs of the root — no gathers, pure [N,64] VPU math.
@@ -833,8 +1039,18 @@ def _treelet_entry_key(nodes, entries, ro, rd, eps: float = 0.0,
                    jnp.int32(WIDTH * WIDTH))                     # 64 = none
     key = m1 * (WIDTH * WIDTH + 1) + m2
     # rays that enter no treelet at all cluster at the very end
-    return jnp.where(jnp.isfinite(t_m1), key,
-                     jnp.int32((WIDTH * WIDTH + 1) ** 2))
+    key = jnp.where(jnp.isfinite(t_m1), key,
+                    jnp.int32((WIDTH * WIDTH + 1) ** 2))
+    if not want_mask:
+        return key
+    # full entered set as 2 packed u32 words (bit t of word t//32 = lane
+    # enters treelet t) — disjoint bit shifts, so sum == bitwise OR
+    ebits = entered.astype(jnp.uint32)
+    w0 = jnp.sum(ebits[:, 0:32] << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                 axis=1)
+    w1 = jnp.sum(ebits[:, 32:64] << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                 axis=1)
+    return key, w0, w1
 
 
 def _coherence_key(nodes, entries, ro, rd, kind: str = "treelet",
@@ -928,7 +1144,7 @@ def _sort_inv(order_idx, t, prim):
 
 def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
                  interpret: bool, version: int = 2, nstacks: int = 1,
-                 entered=None):
+                 entered=None, leaf_kind: str = "tri", seed_rows=None):
     """Invoke the packet kernel on pre-packed ray rows ``f32[8, n_pad]``.
 
     Shared by ``packet_traverse`` (lane-order API) and
@@ -949,6 +1165,8 @@ def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
     max_iters = 16 * m + 64  # hard termination backstop
 
     grid = (n_pad // RAY_BLOCK,)
+    if leaf_kind != "tri" and version != 2:
+        raise ValueError("sphere leaf runs require the v2 kernel")
     if version == 3:
         if nstacks != 1:
             raise ValueError("nstacks > 1 requires version=2")
@@ -996,7 +1214,9 @@ def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
                 iters.reshape(1, n_pad))
     if version == 2:
         kern = functools.partial(_kernel_v2, eps=eps, max_iters=max_iters,
-                                 cap=cap, nstacks=nstacks)
+                                 cap=cap, nstacks=nstacks,
+                                 leaf_kind=leaf_kind,
+                                 seed_init=seed_rows is not None)
         scratch = [
             pltpu.SMEM((cap * nstacks,), jnp.int32),
             pltpu.SMEM((cap * nstacks,), jnp.float32),
@@ -1013,20 +1233,27 @@ def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
             pltpu.SMEM((cap,), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ]
+    in_specs = [
+        pl.BlockSpec((nodes.shape[0], 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((entries.shape[0], 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((runs.shape[0], 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # entered-lane count
+    ]
+    operands = [nodes, entries, runs, rays_rows, entn]
+    if seed_rows is not None:
+        # whole array in SMEM (like entn): dynamically indexed by
+        # [program_id, slot] at seed time; 9 live cols padded to 16
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seed_rows)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((nodes.shape[0], 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((entries.shape[0], 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((runs.shape[0], 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # entered-lane count
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -1042,7 +1269,7 @@ def _kernel_call(nodes, entries, runs, rays_rows, eps: float,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(nodes, entries, runs, rays_rows, entn)
+    )(*operands)
 
 
 # Treelet-key sentinels (see _treelet_entry_key/_coherence_key): lanes that
@@ -1055,11 +1282,12 @@ _KEY_INACTIVE = (_TREELET_NONE + 1) << 18
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_key",
-                                             "version"))
+                                             "version", "restart"))
 def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
                            eps: float = 1e-4, interpret: bool = False,
                            sort_key: str = "treelet", treelets=None,
-                           version: int | None = None):
+                           version: int | None = None,
+                           restart: bool = False, seed_codes=None):
     """Coherence-sorted traversal for FUSED hit shading (single-structure
     worlds; t_init is implicitly +inf — no cross-structure seeding).
 
@@ -1088,15 +1316,36 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
         raise ValueError("packet_traverse_sorted requires sort_key='treelet'")
     if version is None:
         version = PACKET_VERSION
+    if restart and version != 2:
+        raise ValueError("restart seeding requires the v2 kernel")
     n = ro.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    key = _coherence_key(nodes, entries, ro, rd, sort_key, eps=eps,
-                         treelets=treelets)
+    w0 = w1 = None
+    if restart:
+        # treelet-restart needs the full per-lane entered set, not just the
+        # (m1, m2) pair the key encodes — recompose the key from its parts
+        # so the [N,64] slab test is computed once
+        tkey, w0, w1 = _treelet_entry_key(nodes, entries, ro, rd, eps=eps,
+                                          treelets=treelets, want_mask=True)
+        morton = _coherence_key(nodes, entries, ro, rd, "morton")
+        key = tkey * (1 << 18) + morton
+    else:
+        key = _coherence_key(nodes, entries, ro, rd, sort_key, eps=eps,
+                             treelets=treelets)
     key = jnp.where(active, key, jnp.int32(_KEY_INACTIVE))
     idx = jnp.arange(n, dtype=jnp.int32)
-    ops = jax.lax.sort(
-        (key, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
-         idx), num_keys=1)
+    if restart:
+        # inactive lanes must not contribute entered treelets to any block
+        w0 = jnp.where(active, w0, 0)
+        w1 = jnp.where(active, w1, 0)
+        ops = jax.lax.sort(
+            (key, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1],
+             rd[:, 2], idx, w0, w1), num_keys=1)
+        w0_s, w1_s = ops[8], ops[9]
+    else:
+        ops = jax.lax.sort(
+            (key, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1],
+             rd[:, 2], idx), num_keys=1)
     key_s, order_idx = ops[0], ops[7]
     ro_s = jnp.stack(ops[1:4], axis=1)
     rd_s = jnp.stack(ops[4:7], axis=1)
@@ -1105,6 +1354,41 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
     entered_n = jnp.sum((key_s < jnp.int32(_KEY_ENTERED_LIM))
                         .astype(jnp.int32))
     t_enc = jnp.where(active_s, jnp.inf, -jnp.inf)
+
+    seed_rows = None
+    if restart:
+        if seed_codes is None:
+            seed_codes = treelet_seed_codes(nodes, entries)
+        nblk = n_pad // RAY_BLOCK
+        pad_w = jnp.zeros((n_pad - n,), jnp.uint32)
+        bw0 = jnp.concatenate([w0_s, pad_w]).reshape(nblk, RAY_BLOCK)
+        bw1 = jnp.concatenate([w1_s, pad_w]).reshape(nblk, RAY_BLOCK)
+        # per-block OR of the packed entered words (disjoint-bit sums would
+        # overflow across 1024 lanes; fold with bitwise OR in log2 steps)
+        def _orfold(m):
+            k = RAY_BLOCK
+            while k > 1:
+                k //= 2
+                m = m[:, :k] | m[:, k:2 * k]
+            return m[:, 0]
+
+        u0 = _orfold(bw0)
+        u1 = _orfold(bw1)
+        bits = jnp.arange(32, dtype=jnp.uint32)
+        ent64 = jnp.concatenate(
+            [((u0[:, None] >> bits) & 1).astype(bool),
+             ((u1[:, None] >> bits) & 1).astype(bool)], axis=1)  # [nblk,64]
+        cnt = jnp.sum(ent64.astype(jnp.int32), axis=1)
+        # compact entered codes to the row head (PAD codes stay behind)
+        skey = (~ent64).astype(jnp.int32)
+        codes_b = jnp.broadcast_to(seed_codes[None, :], ent64.shape)
+        _, codes_sorted = jax.lax.sort((skey, codes_b), num_keys=1,
+                                       dimension=1)
+        # count > 8 => 0: kernel falls back to the root walk there
+        cnt = jnp.where((cnt >= 1) & (cnt <= WIDTH), cnt, 0)
+        seed_rows = jnp.zeros((nblk, 16), jnp.int32)
+        seed_rows = seed_rows.at[:, :WIDTH].set(codes_sorted[:, :WIDTH])
+        seed_rows = seed_rows.at[:, WIDTH].set(cnt)
 
     rays = jnp.zeros((8, n_pad), jnp.float32)
     rays = rays.at[_RO:_RO + 3, :n].set(ro_s.T)
@@ -1115,7 +1399,8 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
 
     t, prim, _ = _kernel_call(nodes, entries, runs, rays, eps, interpret,
                               version=version,
-                              entered=entered_n if version != 3 else None)
+                              entered=entered_n if version != 3 else None,
+                              seed_rows=seed_rows)
     prim_s = prim[0, :n]
     t_s = jnp.where(prim_s >= 0, t[0, :n], jnp.inf)
     return t_s, prim_s, ro_s, rd_s, entered_n, order_idx
@@ -1123,12 +1408,13 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "sort_rays",
                                              "with_stats", "sort_key",
-                                             "version", "nstacks"))
+                                             "version", "nstacks",
+                                             "leaf_kind"))
 def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
                     eps: float = 1e-4, interpret: bool = False,
                     sort_rays: bool = True, with_stats: bool = False,
                     sort_key: str = "treelet", version: int | None = None,
-                    nstacks: int = 1, treelets=None):
+                    nstacks: int = 1, treelets=None, leaf_kind: str = "tri"):
     """Nearest-hit packet traversal.
 
     Args: packed tables from ``pack_packet_tables``; ``ro/rd f32[N,3]``;
@@ -1140,7 +1426,7 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     Returns ``(t f32[N] — t_init where unbeaten, prim i32[N] — -1)``.
     """
     if version is None:
-        version = PACKET_VERSION
+        version = PACKET_VERSION if leaf_kind == "tri" else 2
     n = ro.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     m = nodes.shape[0]
@@ -1173,7 +1459,8 @@ def packet_traverse(nodes, entries, runs, ro, rd, t_init, active,
     rays = rays.at[_TINIT, n:].set(-jnp.inf)   # padding lanes: inert
 
     t, prim, iters = _kernel_call(nodes, entries, runs, rays, eps, interpret,
-                                  version=version, nstacks=nstacks)
+                                  version=version, nstacks=nstacks,
+                                  leaf_kind=leaf_kind)
     if with_stats:
         t_out = jnp.where(active, t[0, :n], t_init)
         return t_out, prim[0, :n], iters[0, ::RAY_BLOCK]

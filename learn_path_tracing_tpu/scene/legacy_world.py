@@ -44,12 +44,12 @@ EPSILON = 1e-4
 LEGACY_IOR = 1.5
 LEGACY_ABSORPTIVITY = 0.25
 
-# The accelerator path brute-scans spheres (O(S) per ray) instead of walking
-# the reference's device sphere BVH (11_bvh.py:331-380): at the reference's
-# scene scale (<=500 spheres, 11_bvh.py:424-431) the Pallas scan wins
-# outright, but the cost is linear in S where a BVH walk is ~log S. Past
-# this ceiling the scan is no longer obviously right — warn so a big scene
-# never silently eats the O(S) fallback.
+# Below this sphere count the accelerator path brute-scans spheres (O(S)
+# per ray): at the reference's scene scale (<=500 spheres, 11_bvh.py:
+# 424-431) the Pallas scan beats a BVH walk outright. Above it, build()/
+# load() pack a device-side sphere packet BVH (the reference's 11_bvh.py:
+# 331-380 walk, packetized — ops/packet_traverse.pack_sphere_packet_tables)
+# and trace_legacy walks that instead.
 SPHERE_SCAN_CEILING = 4096
 
 # Tests only: force hit_legacy's accelerator code paths (Pallas sphere scan,
@@ -86,6 +86,12 @@ class SphereDeviceData:
     transparency: jnp.ndarray  # f32[S]
     tex: jnp.ndarray           # i32[S]
     bvh: FlatBVH
+    # Device-side sphere BVH as packet tables (the reference traverses its
+    # sphere BVH on device, 11_bvh.py:331-380). Built when S exceeds
+    # SPHERE_SCAN_CEILING (or on request): below it the brute Pallas scan
+    # is measured faster; above it the O(S)-per-ray scan loses to the walk.
+    packet: tuple | None = None  # (nodes, entries, runs)
+    treelets: tuple | None = None
 
 
 @pytree_dataclass(meta_fields=("env_gradient_h",))
@@ -119,6 +125,15 @@ def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
     j = jnp.asarray
     wide = collapse(bvh)
     packet = pack_packet_tables(wide, p[:, 0], p[:, 1], p[:, 2])
+    trl = treelet_boxes(packet[0], packet[1])   # from f32 boxes
+    if os.environ.get("LPT_PACKET_BF16", "0") == "1":
+        # bf16-slab ablation (see _kernel_v2's bf16_slab note): outward-
+        # rounded bf16 node boxes, full bf16 slab math in the kernel.
+        # Measurement-only knob — delete /tmp/lpt_worldcache-* after
+        # toggling (the cache pickles the built tables).
+        from ..ops.packet_traverse import nodes_to_bf16
+
+        packet = (nodes_to_bf16(packet[0]), packet[1], packet[2])
     return MeshDeviceData(
         v0=j(p[:, 0]), v1=j(p[:, 1]), v2=j(p[:, 2]),
         n0=j(n[:, 0]), n1=j(n[:, 1]), n2=j(n[:, 2]),
@@ -127,8 +142,30 @@ def _mesh_device(positions, normals, uvs, face_p, face_n, face_t, face_tex,
         bvh=bvh,
         wide=wide,
         packet=packet,
-        treelets=treelet_boxes(packet[0], packet[1]),
+        treelets=trl,
     )
+
+
+def _sphere_device(centers, radii, transp, tex, bvh,
+                   sphere_packet: bool | None = None) -> SphereDeviceData:
+    """SphereDeviceData, with device-side packet-BVH tables when the
+    scene is past the brute-scan ceiling (or explicitly requested)."""
+    want = (sphere_packet if sphere_packet is not None
+            else np.asarray(centers).shape[0] > SPHERE_SCAN_CEILING)
+    packet = treelets = None
+    if want:
+        from ..ops.packet_traverse import (pack_sphere_packet_tables,
+                                           treelet_boxes)
+
+        wide = collapse(bvh)
+        packet = pack_sphere_packet_tables(wide, centers, radii, transp)
+        treelets = treelet_boxes(packet[0], packet[1])
+    return SphereDeviceData(
+        center=jnp.asarray(np.asarray(centers, np.float32)),
+        radius=jnp.asarray(np.asarray(radii, np.float32)),
+        transparency=jnp.asarray(np.asarray(transp, np.float32)),
+        tex=jnp.asarray(np.asarray(tex, np.int32)), bvh=bvh,
+        packet=packet, treelets=treelets)
 
 
 def _merge_mesh_geometry(meshes_geo):
@@ -292,7 +329,8 @@ class LegacyWorld:
     # ------------------------------------------------------------- build --
     def build(self, mesh_max_depth=24, sphere_max_depth=12, max_leaf=8,
               mesh_max_leaf=8, path_map=None,
-              merge_meshes: bool = True) -> LegacyWorldData:
+              merge_meshes: bool = True,
+              sphere_packet: bool | None = None) -> LegacyWorldData:
         """Pack textures, build atlases and BVHs, upload device tables.
 
         ``merge_meshes`` (default True): multi-mesh scenes traverse ONE
@@ -363,9 +401,8 @@ class LegacyWorld:
                             centroid=centers, max_depth=sphere_max_depth,
                             max_leaf=max_leaf)
             order = np.asarray(bvh.prim)
-            sphere_device = SphereDeviceData(
-                center=jnp.asarray(centers), radius=jnp.asarray(radii),
-                transparency=jnp.asarray(transp), tex=jnp.asarray(tex), bvh=bvh)
+            sphere_device = _sphere_device(centers, radii, transp, tex,
+                                           bvh, sphere_packet)
             sphere_record = {
                 "max_depth": sphere_max_depth,
                 "nodes": {k: np.asarray(getattr(bvh, k)) for k in
@@ -416,7 +453,8 @@ class LegacyWorld:
     def load(self, filename, path_map=None,
              rebuild_bvh: bool = True,
              textures_from_obj: str | None = None,
-             merge_meshes: bool = True) -> LegacyWorldData:
+             merge_meshes: bool = True,
+             sphere_packet: bool | None = None) -> LegacyWorldData:
         """Load a .world.npy (either schema era).
 
         ``rebuild_bvh=True`` (default) rebuilds the acceleration structures
@@ -495,12 +533,10 @@ class LegacyWorld:
                                  max_leaf=4)
             else:
                 sbvh = _bvh_from_record(rec)
-            sphere_device = SphereDeviceData(
-                center=jnp.asarray(s["center"]),
-                radius=jnp.asarray(s["radius"]),
-                transparency=jnp.asarray(s["transparency"].astype(np.float32)),
-                tex=jnp.asarray(s["texture_id"]),
-                bvh=sbvh)
+            sphere_device = _sphere_device(
+                s["center"], s["radius"],
+                np.asarray(s["transparency"], np.float32),
+                s["texture_id"], sbvh, sphere_packet)
 
         tex_low, tex_high = make_info_arrays(self.textures.configs)
         env_low, env_high = make_info_arrays(self.environments.configs)
@@ -751,9 +787,13 @@ def _hit_legacy_fused(world: LegacyWorldData, rays: Rays,
 
     mesh = world.meshes[0]
     nodes, entries, runs = mesh.packet
+    # LPT_TREELET_RESTART=1: start each block's traversal at its entered
+    # depth-2 treelets instead of the root (ablation knob; exactness and
+    # fallback rules in _kernel_v2's seed_init docstring)
+    restart = os.environ.get("LPT_TREELET_RESTART", "0") == "1"
     t_s, prim_s, ro_s, rd_s, entered_n, order_idx = packet_traverse_sorted(
         nodes, entries, runs, rays.ro, rays.rd, rays.alive, eps=eps,
-        interpret=interpret, treelets=mesh.treelets)
+        interpret=interpret, treelets=mesh.treelets, restart=restart)
     hit_s = prim_s >= 0
     t_safe_s = jnp.where(hit_s, t_s, 0.0)
     point_s = ro_s + t_safe_s[:, None] * rd_s
@@ -806,22 +846,30 @@ def trace_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON,
 
     if world.spheres is not None:
         s = world.spheres
-        if on_accel:
-            # Brute Pallas scan instead of the lockstep BVH walk: legacy
-            # scenes cap at ~500 spheres (11_bvh.py:424-431) where the scan
-            # wins outright, and the lockstep walk at wavefront scale on
-            # TPU outlives the device watchdog (scene/world.py note).
+        if on_accel and s.packet is not None:
+            # Device-side sphere BVH: packet traversal with sphere leaf
+            # runs (the reference's 11_bvh.py:331-380 walk, packetized).
+            # Built past SPHERE_SCAN_CEILING where the O(S)-per-ray brute
+            # scan stops being the right trade; below it the scan wins
+            # (the reference's scenes cap at ~500 spheres, :424-431).
+            from ..ops.packet_traverse import packet_traverse
+
+            nodes, entries, runs = s.packet
+            t, p = packet_traverse(nodes, entries, runs, ro, rd,
+                                   t_init=t_best, active=rays.alive,
+                                   eps=eps, sort_rays=False, interpret=interp,
+                                   treelets=s.treelets, leaf_kind="sphere")
+            t = jnp.where(p >= 0, t, jnp.inf)
+        elif on_accel:
             if s.center.shape[0] > SPHERE_SCAN_CEILING:
                 import warnings
 
                 warnings.warn(
-                    f"legacy world has {s.center.shape[0]} spheres; the "
-                    f"accelerator hit path brute-scans spheres (O(S) per "
-                    f"ray) and is only validated fast up to "
-                    f"~{SPHERE_SCAN_CEILING} — expect per-pass cost linear "
-                    f"in sphere count (the reference's scenes cap at ~500, "
-                    f"11_bvh.py:424-431). A sphere-leaf packet-BVH mode is "
-                    f"the planned fix for scenes this large.",
+                    f"legacy world has {s.center.shape[0]} spheres but no "
+                    f"sphere packet tables (sphere_packet=False?); the "
+                    f"brute scan is O(S) per ray and only validated fast "
+                    f"up to ~{SPHERE_SCAN_CEILING} — rebuild with "
+                    f"sphere_packet=True for the device-side sphere BVH.",
                     stacklevel=2)
             from ..ops.sphere_scan import intersect_spheres_pallas
 

@@ -93,6 +93,30 @@ def test_hybrid_limit_one_is_primary_only():
                        atol=5e-7)
 
 
+def test_hybrid_sample_base_accumulates_exactly():
+    """Two sample_base-offset calls of spp/2 average to the one-shot spp
+    render (identical RNG counters per absolute sample; the viewer's
+    progressive accumulation contract)."""
+    import jax.numpy as jnp
+
+    wd = _mini_legacy_world()
+    cam = _cam()
+    full, full_seg = render_hybrid(wd, cam.params(), RES, spp=4, limit=6,
+                                   seed=9, bsdf="legacy", scene="legacy",
+                                   camera_model="thinlens")
+    a, sa = render_hybrid(wd, cam.params(), RES, spp=2, limit=6, seed=9,
+                          bsdf="legacy", scene="legacy",
+                          camera_model="thinlens",
+                          sample_base=jnp.uint32(0))
+    b, sb = render_hybrid(wd, cam.params(), RES, spp=2, limit=6, seed=9,
+                          bsdf="legacy", scene="legacy",
+                          camera_model="thinlens",
+                          sample_base=jnp.uint32(2))
+    assert float(sa) + float(sb) == float(full_seg)
+    merged = (np.asarray(a) + np.asarray(b)) / 2.0
+    assert np.allclose(merged, np.asarray(full), rtol=0, atol=5e-7)
+
+
 def test_hybrid_rejects_non_legacy_scene():
     with pytest.raises(ValueError):
         render_hybrid(None, None, RES, spp=2, scene="spheres")

@@ -348,7 +348,8 @@ def test_hit_legacy_multi_mesh():
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        world.build()
+        world.build(merge_meshes=False)   # per-mesh composition under test;
+        # the merged-BVH default is covered by tests/test_multimesh.py
     wd = world.device()
     assert len(wd.meshes) == 2
     # from the front: near quad wins; from behind: far quad wins
@@ -628,8 +629,11 @@ def test_sphere_scan_ceiling_warns(monkeypatch):
 
     rays = _rays([[0, 0, 5]], [[0, 0, -1]])
 
-    # trace only (eval_shape): the warning is a trace-time property
-    with pytest.warns(UserWarning, match="brute-scans"):
+    # trace only (eval_shape): the warning is a trace-time property.
+    # (worlds BUILT through LegacyWorld auto-pack sphere packet tables past
+    # the ceiling — tests/test_sphere_packet.py; this hand-built device
+    # data has none, which is exactly the case that must stay loud)
+    with pytest.warns(UserWarning, match="brute scan"):
         jax.eval_shape(hit_legacy, world_with(SPHERE_SCAN_CEILING + 4), rays)
 
     with warnings.catch_warnings():

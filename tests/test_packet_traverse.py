@@ -179,3 +179,33 @@ def test_packet_v3_matches_v2_exactly(np_rng):
                                   np.asarray(outs[1][0]))
     np.testing.assert_array_equal(np.asarray(outs[0][1]),
                                   np.asarray(outs[1][1]))
+
+
+def test_packet_sorted_restart_exact(np_rng):
+    """Treelet-restart seeding (restart=True) must return sorted-order
+    results identical to the root walk: the seeded stack covers exactly
+    the depth-2 treelets some lane enters, which bounds every reachable
+    hit (seed_init docstring in ops/packet_traverse._kernel_v2)."""
+    from learn_path_tracing_tpu.ops.packet_traverse import (
+        RAY_BLOCK,
+        packet_traverse_sorted,
+    )
+
+    v0, v1, v2 = _mesh(np_rng, 40)
+    flat, wide, (nodes, entries, runs) = _tables(v0, v1, v2)
+    n_r = RAY_BLOCK * 2
+    ro = np_rng.normal(size=(n_r, 3)).astype(np.float32) * 4
+    rd = np_rng.normal(size=(n_r, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    active = jnp.asarray(np_rng.random(n_r) < 0.9)
+    a = packet_traverse_sorted(nodes, entries, runs, jnp.asarray(ro),
+                               jnp.asarray(rd), active, interpret=True,
+                               version=2, restart=False)
+    b = packet_traverse_sorted(nodes, entries, runs, jnp.asarray(ro),
+                               jnp.asarray(rd), active, interpret=True,
+                               version=2, restart=True)
+    # same key -> same sorted order; t/prim must agree lane-for-lane
+    assert np.array_equal(np.asarray(a[5]), np.asarray(b[5]))  # order_idx
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))  # prim
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))  # t
+    assert int(a[4]) == int(b[4])
