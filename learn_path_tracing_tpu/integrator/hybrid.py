@@ -100,10 +100,36 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
         raise ValueError("render_hybrid targets legacy mesh scenes; use "
                          "render_persistent for sphere scenes (measured "
                          "fastest there, BASELINE.md)")
-    from ..scene.legacy_world import shade_from_trace, trace_legacy
-
     w, h = resolution
     n = w * h
+    out = _hybrid_core(world_data, cam, resolution, n, 0, sample_base, spp,
+                       limit, seed, bsdf, camera_model, scene, hit_backend,
+                       chunk_spp, cap, pool_w, drain_ratio, stats)
+    if stats:
+        acc, segments, st = out
+        return (acc / spp).reshape(w, h, 3), segments, st
+    acc, segments = out
+    return (acc / spp).reshape(w, h, 3), segments
+
+
+def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
+                 pixel_base, sample_base, spp: int, limit: int, seed,
+                 bsdf: str, camera_model: str, scene: str, hit_backend: str,
+                 chunk_spp: int = 0, cap: int = 0, pool_w: int = 0,
+                 drain_ratio: int = 8, stats: bool = False):
+    """Hybrid render over a pixel range and sample range.
+
+    Traces samples ``[sample_base, sample_base + spp)`` of pixels
+    ``[pixel_base, pixel_base + n)`` of the full ``resolution`` image and
+    returns ``(acc f32[n, 3] radiance sums, segments f32)``. The shard body
+    for parallel.mesh's tile/spp-sharded hybrid path: phase A slabs, the
+    survivor pool, merges and deposits are all local to the range — no
+    cross-chip traffic until the final image gather. RNG streams key on
+    absolute (pixel, sample), so per-sample radiance is reshard-invariant
+    (same contract as integrator.persistent._persistent_core)."""
+    from ..scene.legacy_world import shade_from_trace, trace_legacy
+
+    pixel_base = jnp.uint32(pixel_base)
     if chunk_spp <= 0:
         chunk_spp = 1
         while spp % (chunk_spp * 2) == 0 and n * (chunk_spp * 2) <= (1 << 21):
@@ -126,6 +152,7 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
     hit_fn, background_fn = _scene_fns(scene)
     uspp = jnp.uint32(spp)
     sample_base = jnp.uint32(sample_base)
+    cam_res = resolution
 
     # ---------------------------------------------------- pool machinery --
     # Pool state tuple P = (ro, rd, thp, rad, wid, bounce, alive); every
@@ -141,7 +168,7 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
         rad = rad + jnp.where(
             escaped[:, None],
             background_fn(world_data, rd, escaped) * thp, 0.0)
-        pix = wid // uspp
+        pix = wid // uspp + pixel_base
         smp = wid % uspp + sample_base
         base = rng.base(rng.stream(seed, smp, bounce, rng.STREAM_BSDF), pix)
         sc = scatter(rays, hits, base)
@@ -230,8 +257,8 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
                     + lanes % jnp.uint32(chunk_spp))
 
         # ---- phase A: dense unsorted pixel-major primaries, trace only ----
-        rays = generate_rays_for_pixels(cam, resolution, pixel_a, seed,
-                                        sample_a + sample_base,
+        rays = generate_rays_for_pixels(cam, cam_res, pixel_a + pixel_base,
+                                        seed, sample_a + sample_base,
                                         model=camera_model)
         t, prim, src = trace_legacy(world_data, rays, sort_rays=False)
         segments = segments + jnp.float32(L0)
@@ -275,9 +302,9 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
 
             # regen + deferred shading + bounce-0 scatter at batch width:
             # primaries are pure functions of (pixel, sample, seed)
-            pixb = widb // uspp
+            pixb = widb // uspp + pixel_base
             smpb = widb % uspp + sample_base
-            raysb = generate_rays_for_pixels(cam, resolution, pixb, seed,
+            raysb = generate_rays_for_pixels(cam, cam_res, pixb, seed,
                                              smpb, model=camera_model)
             validb = jnp.arange(cap, dtype=jnp.uint32) < batch_n
             hitsb = shade_from_trace(world_data, raysb,
@@ -331,9 +358,8 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
     _, _, _, rad, wid, _, _ = P
     acc = acc.at[wid // uspp].add(rad)
 
-    img = (acc / spp).reshape(w, h, 3)
     if stats:
-        return img, segments, {"chunk_spp": chunk_spp, "n_chunks": n_chunks,
+        return acc, segments, {"chunk_spp": chunk_spp, "n_chunks": n_chunks,
                                "cap": cap, "pool_w": W,
                                "levels": tuple(levels), "passes": passes}
-    return img, segments
+    return acc, segments

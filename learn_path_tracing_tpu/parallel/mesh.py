@@ -172,3 +172,63 @@ def render_persistent_multichip(world_data, cam: CameraParams, resolution,
     acc, segs = shard_fn(world_data, cam)
     img = (acc / spp).reshape(w, h, 3)
     return img, segs
+
+
+def render_hybrid_multichip(world_data, cam: CameraParams, resolution,
+                            spp: int, mesh: Mesh, limit: int = 32,
+                            seed=0, bsdf: str = "legacy",
+                            camera_model: str = "jitter",
+                            scene: str = "legacy",
+                            hit_backend: str = "auto",
+                            chunk_spp: int = 0, cap: int = 0,
+                            pool_w: int = 0, drain_ratio: int = 8):
+    """Tile/spp-sharded hybrid integrator (the fast mesh path, multi-chip).
+
+    Each device runs integrator.hybrid._hybrid_core over its own pixel
+    range (tile axis) and sample range (spp axis): phase-A slabs, the
+    shared survivor pool, merges and deposits are all shard-local — ZERO
+    cross-chip traffic while tracing; one ``psum`` folds the spp axis and
+    the tile gather assembles the image at the end (same communication
+    shape as render_persistent_multichip). Per-sample radiance is
+    bit-identical to the single-chip hybrid (counter RNG on absolute
+    pixel/sample ids); per-pixel sums differ only in f32 association
+    order, and traced segment counts match exactly.
+    """
+    from ..integrator.hybrid import _hybrid_core
+
+    w, h = resolution
+    n = w * h
+    n_tile = mesh.shape["tile"]
+    n_spp_shards = mesh.shape["spp"]
+    if n % n_tile:
+        raise ValueError(
+            f"hybrid sharding needs tile axis {n_tile} to divide "
+            f"n={n} pixels (pad the resolution)")
+    if spp % n_spp_shards:
+        raise ValueError(f"spp={spp} not divisible by spp axis {n_spp_shards}")
+    n_local = n // n_tile
+    spp_local = spp // n_spp_shards
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P("tile"), P()),
+        check_vma=False,
+    )
+    def shard_fn(wd, cp):
+        pixel_base = (jnp.uint32(jax.lax.axis_index("tile"))
+                      * jnp.uint32(n_local))
+        sample_base = (jnp.uint32(jax.lax.axis_index("spp"))
+                       * jnp.uint32(spp_local))
+        acc, segs = _hybrid_core(
+            wd, cp, resolution, n_local, pixel_base, sample_base, spp_local,
+            limit, seed, bsdf, camera_model, scene, hit_backend,
+            chunk_spp, cap, pool_w, drain_ratio, stats=False)
+        acc = jax.lax.psum(acc, "spp")
+        segs = jax.lax.psum(segs, ("tile", "spp"))
+        return acc, segs
+
+    acc, segs = shard_fn(world_data, cam)
+    img = (acc / spp).reshape(w, h, 3)
+    return img, segs

@@ -204,3 +204,25 @@ def test_persistent_sharding_validation(devices):
     with pytest.raises(ValueError, match="tile axis"):
         render_persistent_multichip(world.device(), cam.params(), (41, 7),
                                     SPP, mesh, limit=LIMIT, seed=5)
+
+
+@pytest.mark.parametrize("n_tile,n_spp", [(8, 1), (2, 4)])
+def test_hybrid_sharding_matches_single_device(devices, n_tile, n_spp):
+    """The hybrid integrator sharded over tile/spp computes the same
+    per-sample radiance as single-device (range-local phase-A slabs +
+    survivor pool per shard): traced-segment counts match exactly; images
+    differ only in f32 per-pixel sum association."""
+    from learn_path_tracing_tpu.integrator.hybrid import render_hybrid
+    from learn_path_tracing_tpu.parallel.mesh import render_hybrid_multichip
+
+    wd, cam = _legacy_world_and_cam()
+    ref, ref_segs = render_hybrid(wd, cam.params(), RES, spp=SPP,
+                                  limit=LIMIT, seed=5, bsdf="legacy",
+                                  scene="legacy", camera_model="jitter")
+    mesh = make_mesh(n_tile=n_tile, n_spp=n_spp)
+    img, segs = render_hybrid_multichip(wd, cam.params(), RES, SPP, mesh,
+                                        limit=LIMIT, seed=5, bsdf="legacy",
+                                        scene="legacy",
+                                        camera_model="jitter")
+    assert float(segs) == float(ref_segs)
+    assert np.allclose(np.asarray(img), np.asarray(ref), rtol=1e-5, atol=1e-6)
