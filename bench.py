@@ -42,7 +42,10 @@ def main():
     p.add_argument("--cap", type=int, default=0,
                    help="hybrid survivor batch width (0 = auto: slab/8)")
     p.add_argument("--pool-w", type=int, default=0,
-                   help="hybrid secondary pool width (0 = auto: slab/4)")
+                   help="hybrid secondary pool width (0 = auto: sized for "
+                        "all primary survivors, see integrator/hybrid.py)")
+    p.add_argument("--drain-ratio", type=int, default=2,
+                   help="hybrid end-of-render cascade narrowing ratio")
     p.add_argument("--chunk-spp", type=int, default=0,
                    help="cohort primary slab spp (0 = auto)")
     p.add_argument("--sec-ratio", type=int, default=4,
@@ -189,7 +192,8 @@ def main():
                                  camera_model=cam_model, scene=scene_kind,
                                  hit_backend=args.hit_backend,
                                  chunk_spp=args.chunk_spp, cap=args.cap,
-                                 pool_w=args.pool_w)
+                                 pool_w=args.pool_w,
+                                 drain_ratio=args.drain_ratio)
     elif engine == "cohort":
         from learn_path_tracing_tpu.integrator.cohort import render_cohort
 

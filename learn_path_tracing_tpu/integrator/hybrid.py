@@ -23,15 +23,21 @@ shape, shared across ALL chunks:
   cohort's 15-22 — and ray state + hit attributes + the bounce-0 BSDF
   scatter are all recomputed at the compacted batch width (cap lanes,
   typically L0/8) instead of slab width.
-- **phase B (shared pool)**: survivor batches from every chunk merge into
-  one fixed-width persistent pool of secondary rays (mixed bounce depths,
-  per-lane bounce counters). The pool drains only enough to make room for
-  each incoming batch ("make room" passes), so its occupancy stays high
-  for the whole render instead of decaying once per chunk; after the last
-  chunk a narrowing cascade (the persistent drain's shape) finishes the
-  stragglers. A batch whose survivors exceed the batch width spills into
-  multiple merge rounds — always correct, no overflow poisoning (the
-  fallback VERDICT round-3 asked for).
+- **phase B (shared pool)**: survivor batches from every chunk land in
+  one pool of secondary rays sized to hold ALL of the render's primary
+  survivors (auto ``pool_w``). In the common case each batch SPLICES into
+  never-touched slots (15 column dynamic_update_slices — no sort, no
+  deposits, no pool pass), so ZERO bounce passes run until every chunk
+  delivered; then one end-of-render cascade traces the whole secondary
+  workload at widths that track the live count (halving ``drain_ratio``
+  levels). Round-3's eager make-room draining measured 35 pool passes at
+  18.6% average occupancy on the Yoimiya bench (hybrid_stats,
+  2026-08-20); lazy fill + a ratio-2 cascade is the fix. If survivors
+  overflow the pool (hit-heavy scenes past the 1M-lane cap), the
+  make-room shape returns as the fallback: drain until the batch fits,
+  sort-merge into dead slots — always correct, no overflow poisoning
+  (VERDICT round-3's ask). A batch whose survivors exceed the batch
+  width spills into multiple merge rounds either way.
 
 Escape radiance in phase B is CARRIED per lane (``rad``) and deposited by
 scatter-add only when a lane's slot is evicted (merge overwrite, cascade
@@ -80,7 +86,7 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
                   limit: int = 32, seed=0, bsdf: str = "legacy",
                   camera_model: str = "jitter", scene: str = "legacy",
                   hit_backend: str = "auto", chunk_spp: int = 0,
-                  cap: int = 0, pool_w: int = 0, drain_ratio: int = 8,
+                  cap: int = 0, pool_w: int = 0, drain_ratio: int = 2,
                   sample_base=0, stats: bool = False):
     """Returns (image f32[W,H,3], segments f32) — same sample values as
     persistent/wavefront render; per-pixel sum order differs (~1 ulp).
@@ -89,7 +95,9 @@ def render_hybrid(world_data, cam: CameraParams, resolution, spp: int,
     power-of-two divisor of spp keeping the slab under ~2M lanes).
     ``cap``: survivor batch width (0 = auto: slab/8). Batches larger than
     ``cap`` spill into multiple merge rounds — no overflow failure mode.
-    ``pool_w``: secondary pool width (0 = auto: slab/4).
+    ``pool_w``: secondary pool width (0 = auto: sized to hold every
+    primary survivor of the whole render up to a 1M-lane cap, so
+    the common case never drains mid-chunk — see _hybrid_core).
     ``drain_ratio``: narrowing ratio of the end-of-render cascade.
     ``sample_base`` (traced u32): absolute sample index of this call's
     first sample — progressive accumulation renders samples
@@ -116,7 +124,7 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
                  pixel_base, sample_base, spp: int, limit: int, seed,
                  bsdf: str, camera_model: str, scene: str, hit_backend: str,
                  chunk_spp: int = 0, cap: int = 0, pool_w: int = 0,
-                 drain_ratio: int = 8, stats: bool = False):
+                 drain_ratio: int = 2, stats: bool = False):
     """Hybrid render over a pixel range and sample range.
 
     Traces samples ``[sample_base, sample_base + spp)`` of pixels
@@ -144,7 +152,17 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
         cap = _r256(L0 // 8)
     cap = min(cap, _r256(L0))
     if pool_w <= 0:
-        pool_w = _r256(L0 // 4)
+        # Size the pool to hold every primary survivor of the whole render
+        # (total/8 ≈ the measured Yoimiya primary hit fraction with 45%
+        # headroom), bounded by a 1M-lane cap. When it fits, chunks SPLICE
+        # survivor batches into untouched slots and ZERO pool passes run
+        # until the end-of-render cascade — the round-4 fix for 35
+        # make-room passes at 18.6% occupancy (hybrid_stats, 2026-08-20).
+        # Past the cap, make-room draining returns as the fallback — but
+        # those passes run with the pool full (~95% occupancy), which is
+        # the point; zero passes was never the goal, cheap ones were.
+        pool_w = min(max(n * spp // 8, 2 * cap), 1 << 20)
+    pool_w = _r256(min(pool_w, n * spp))
     pool_w = max(pool_w, cap)
     W = pool_w
 
@@ -155,19 +173,34 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
     cam_res = resolution
 
     # ---------------------------------------------------- pool machinery --
-    # Pool state tuple P = (ro, rd, thp, rad, wid, bounce, alive); every
-    # function below is width-polymorphic (drain levels reuse them).
+    # Pool state tuple P = 15 flat [w] columns:
+    #   (ro0,ro1,ro2, rd0,rd1,rd2, th0,th1,th2, ra0,ra1,ra2, wid,bounce,alive)
+    # COLUMNS, not [w,3] arrays, on purpose: XLA:TPU lays out f32[N,3]
+    # while-carries as T(8,128) — the minor dim pads 3 -> 128 (42.7x), so a
+    # 1M-lane pool of four [N,3] arrays costs ~2 GB of HBM instead of 48 MB
+    # (measured: the [W,3] variant OOMed at 19.03G/15.75G, 2026-08-21).
+    # Columns are also what lax.sort wants, killing 6 stack/unstack ops per
+    # pool sort. Every function below is width-polymorphic (drain levels
+    # reuse them).
+    def _v3(c0, c1, c2):
+        return jnp.stack([c0, c1, c2], axis=-1)
+
     def pool_pass(P, segments):
         """One secondary bounce pass over the pool. Escape radiance goes to
         the carried per-lane ``rad`` (deposited on eviction), not to acc."""
-        ro, rd, thp, rad, wid, bounce, alive = P
-        rays = Rays(ro=ro, rd=rd, throughput=thp, alive=alive)
+        (ro0, ro1, ro2, rd0, rd1, rd2, th0, th1, th2,
+         ra0, ra1, ra2, wid, bounce, alive) = P
+        rd = _v3(rd0, rd1, rd2)
+        thp = _v3(th0, th1, th2)
+        rays = Rays(ro=_v3(ro0, ro1, ro2), rd=rd, throughput=thp,
+                    alive=alive)
         hits = hit_fn(world_data, rays, hit_backend)
         live = jnp.sum(alive.astype(jnp.float32))
         escaped = alive & ~hits.hit
-        rad = rad + jnp.where(
-            escaped[:, None],
-            background_fn(world_data, rd, escaped) * thp, 0.0)
+        env = background_fn(world_data, rd, escaped)
+        ra0 = ra0 + jnp.where(escaped, env[:, 0] * th0, 0.0)
+        ra1 = ra1 + jnp.where(escaped, env[:, 1] * th1, 0.0)
+        ra2 = ra2 + jnp.where(escaped, env[:, 2] * th2, 0.0)
         pix = wid // uspp + pixel_base
         smp = wid % uspp + sample_base
         base = rng.base(rng.stream(seed, smp, bounce, rng.STREAM_BSDF), pix)
@@ -176,50 +209,46 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
         # dead lanes keep their previous (finite) ray state: hit_legacy
         # clamps miss t to 0 before hits.point, so sc is finite everywhere,
         # but keeping old values is free and independent of that invariant
-        m = survived[:, None]
-        P = (jnp.where(m, sc.ro, ro), jnp.where(m, sc.rd, rd),
-             jnp.where(m, sc.throughput, thp), rad, wid,
-             jnp.where(survived, bounce + 1, bounce), survived)
+        w_ = jnp.where
+        P = (w_(survived, sc.ro[:, 0], ro0), w_(survived, sc.ro[:, 1], ro1),
+             w_(survived, sc.ro[:, 2], ro2), w_(survived, sc.rd[:, 0], rd0),
+             w_(survived, sc.rd[:, 1], rd1), w_(survived, sc.rd[:, 2], rd2),
+             w_(survived, sc.throughput[:, 0], th0),
+             w_(survived, sc.throughput[:, 1], th1),
+             w_(survived, sc.throughput[:, 2], th2),
+             ra0, ra1, ra2, wid,
+             w_(survived, bounce + 1, bounce), survived)
         return P, segments + live, jnp.sum(survived.astype(jnp.float32))
 
     def sort_pool(P, dead_first: bool):
         """Payload-through-sort of the whole pool by aliveness (argsort +
         per-field gather measured ~4x slower for this shape, see
-        ops.packet_traverse._sort_fwd)."""
-        ro, rd, thp, rad, wid, bounce, alive = P
+        ops.packet_traverse._sort_fwd). Columns in, columns out."""
+        alive = P[-1]
         key = alive if dead_first else ~alive
-        (_, a, ro0, ro1, ro2, rd0, rd1, rd2, th0, th1, th2,
-         ra0, ra1, ra2, wid_s, bnc) = lax.sort(
-            (key.astype(jnp.uint32), alive,
-             ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
-             thp[:, 0], thp[:, 1], thp[:, 2], rad[:, 0], rad[:, 1],
-             rad[:, 2], wid, bounce), num_keys=1)
-        return (jnp.stack([ro0, ro1, ro2], -1), jnp.stack([rd0, rd1, rd2], -1),
-                jnp.stack([th0, th1, th2], -1),
-                jnp.stack([ra0, ra1, ra2], -1), wid_s, bnc, a)
+        out = lax.sort((key.astype(jnp.uint32),) + P[:-1] + (alive,),
+                       num_keys=1)
+        return out[1:]
 
-    def merge(P, batch, batch_n, acc):
-        """Place a survivor batch (cap-wide, valid prefix ``batch_n``) into
-        the pool's dead slots. Caller guarantees live <= W - batch_n, so
-        after a dead-first sort the prefix rows [0, batch_n) are all dead;
-        their pending rad deposits and the batch overwrites them."""
-        bro, brd, bth, bwid, balive = batch
-        ro, rd, thp, rad, wid, bounce, alive = sort_pool(P, dead_first=True)
+    def merge(P, bcols, batch_n, acc):
+        """Place a survivor batch (cap-wide pool-order columns, valid
+        prefix ``batch_n``) into the pool's dead slots. Caller guarantees
+        live <= W - batch_n, so after a dead-first sort the prefix rows
+        [0, batch_n) are all dead; their pending rad deposits and the
+        batch overwrites them."""
+        P = sort_pool(P, dead_first=True)
+        ra0, ra1, ra2, wid = P[9], P[10], P[11], P[12]
         over = jnp.arange(cap, dtype=jnp.uint32) < batch_n        # [cap]
         acc = acc.at[wid[:cap] // uspp].add(
-            jnp.where(over[:, None], rad[:cap], 0.0))
-        m = over[:, None]
+            jnp.where(over[:, None],
+                      _v3(ra0[:cap], ra1[:cap], ra2[:cap]), 0.0))
 
-        def splice(pool_f, batch_f, msk):
+        def splice(pool_f, batch_f):
             return jnp.concatenate(
-                [jnp.where(msk, batch_f, pool_f[:cap]), pool_f[cap:]], axis=0)
+                [jnp.where(over, batch_f, pool_f[:cap]), pool_f[cap:]],
+                axis=0)
 
-        P = (splice(ro, bro, m), splice(rd, brd, m), splice(thp, bth, m),
-             splice(rad, jnp.zeros((cap, 3), jnp.float32), m),
-             splice(wid, bwid, over),
-             splice(bounce, jnp.ones((cap,), jnp.uint32), over),
-             splice(alive, balive, over))
-        return P, acc
+        return tuple(splice(pf, bf) for pf, bf in zip(P, bcols)), acc
 
     def run_until(P, segments, passes, live, threshold):
         """Pool passes until live <= threshold (traced or static scalar)."""
@@ -240,19 +269,18 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
         """Keep the ``lw`` most-alive lanes; deposit the dropped suffix's
         carried radiance (all dropped lanes are dead — callers narrow only
         when live <= lw)."""
-        ro, rd, thp, rad, wid, bounce, alive = sort_pool(P, dead_first=False)
-        acc = acc.at[wid[lw:] // uspp].add(rad[lw:])
-        return (ro[:lw], rd[:lw], thp[:lw], rad[:lw], wid[:lw], bounce[:lw],
-                alive[:lw]), acc
+        P = sort_pool(P, dead_first=False)
+        ra0, ra1, ra2, wid = P[9], P[10], P[11], P[12]
+        acc = acc.at[wid[lw:] // uspp].add(
+            _v3(ra0[lw:], ra1[lw:], ra2[lw:]))
+        return tuple(f[:lw] for f in P), acc
 
     # ------------------------------------------------------- chunk phase --
     lanes = jnp.arange(L0, dtype=jnp.uint32)
     pixel_a = lanes // jnp.uint32(chunk_spp)
-    unit_z_cap = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32),
-                                  (cap, 3))
 
     def chunk_body(ci, carry):
-        P, acc, segments, passes, live = carry
+        P, acc, segments, passes, live, fill = carry
         sample_a = (jnp.uint32(ci) * jnp.uint32(chunk_spp)
                     + lanes % jnp.uint32(chunk_spp))
 
@@ -269,7 +297,7 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
             background_fn(world_data, rays.rd, esc) * rays.throughput, 0.0)
         acc = acc + contrib.reshape(n, chunk_spp, 3).sum(axis=1)
         if limit <= 1:
-            return P, acc, segments, passes, live
+            return P, acc, segments, passes, live, fill
 
         # ---- survivor extraction: 5-operand sort, survivors first ----
         wid_a = pixel_a * uspp + sample_a
@@ -287,18 +315,13 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
             return st[0] * cap < count
 
         def spill_body(st):
-            j, P, acc, segments, passes, live = st
+            j, P, acc, segments, passes, live, fill = st
             off = j * jnp.uint32(cap)
             widb = lax.dynamic_slice(wid_s, (off,), (cap,))
             tb = lax.dynamic_slice(t_s, (off,), (cap,))
             primb = lax.dynamic_slice(prim_s, (off,), (cap,))
             srcb = lax.dynamic_slice(src_s, (off,), (cap,))
             batch_n = jnp.minimum(jnp.uint32(cap), count - off)
-
-            # make room: drain the pool until the batch fits
-            P, segments, passes, live = run_until(
-                P, segments, passes, live,
-                jnp.float32(W) - batch_n.astype(jnp.float32))
 
             # regen + deferred shading + bounce-0 scatter at batch width:
             # primaries are pure functions of (pixel, sample, seed)
@@ -313,53 +336,108 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
                                      count=batch_n.astype(jnp.int32))
             base = rng.base(rng.stream(seed, smpb, 0, rng.STREAM_BSDF), pixb)
             scb = scatter(raysb, hitsb, base)
-            mb = validb[:, None]
-            batch = (jnp.where(mb, scb.ro, 0.0),
-                     jnp.where(mb, scb.rd, unit_z_cap),
-                     jnp.where(mb, scb.throughput, 0.0),
-                     jnp.where(validb, widb, 0),
+            w_ = jnp.where
+            zc = jnp.zeros((cap,), jnp.float32)
+            # batch columns in pool order (rad=0, bounce=1 added at splice):
+            # dead padding rays are (ro=0, rd=(0,0,1)) — inert unit rays
+            bcols = (w_(validb, scb.ro[:, 0], 0.0),
+                     w_(validb, scb.ro[:, 1], 0.0),
+                     w_(validb, scb.ro[:, 2], 0.0),
+                     w_(validb, scb.rd[:, 0], 0.0),
+                     w_(validb, scb.rd[:, 1], 0.0),
+                     w_(validb, scb.rd[:, 2], 1.0),
+                     w_(validb, scb.throughput[:, 0], 0.0),
+                     w_(validb, scb.throughput[:, 1], 0.0),
+                     w_(validb, scb.throughput[:, 2], 0.0),
+                     zc, zc, zc,
+                     w_(validb, widb, 0),
+                     jnp.ones((cap,), jnp.uint32),
                      validb)
-            P, acc = merge(P, batch, batch_n, acc)
-            live = live + batch_n.astype(jnp.float32)
-            return j + 1, P, acc, segments, passes, live
 
-        _, P, acc, segments, passes, live = lax.while_loop(
+            # Fast path: the batch fits in never-touched slots — SPLICE it
+            # (15 column dynamic_update_slices, no sort, no pool pass, no
+            # deposits: overwritten rows are this render's own dead padding
+            # with rad = 0). ``fill`` stays 1024-aligned (TPU tile) by
+            # rounding each advance up; the skipped <=1023 rows stay dead
+            # padding.
+            def do_splice(op):
+                P, acc, segments, passes, live, fill = op
+                f = fill.astype(jnp.int32)
+                P = tuple(lax.dynamic_update_slice(pf, bf, (f,))
+                          for pf, bf in zip(P, bcols))
+                fill = ((fill + batch_n + jnp.uint32(1023))
+                        & jnp.uint32(0xFFFFFC00))
+                return P, acc, segments, passes, live, fill
+
+            # Overflow fallback: drain the pool until the batch fits, then
+            # sort-merge into dead slots (the round-3 make-room shape).
+            # Once taken, live lanes are scattered anywhere — fill pins to
+            # W so every later batch also takes this branch.
+            def do_makeroom(op):
+                P, acc, segments, passes, live, fill = op
+                P, segments, passes, live = run_until(
+                    P, segments, passes, live,
+                    jnp.float32(W) - batch_n.astype(jnp.float32))
+                P, acc = merge(P, bcols, batch_n, acc)
+                return P, acc, segments, passes, live, jnp.uint32(W)
+
+            can_splice = (fill + jnp.uint32(cap)) <= jnp.uint32(W)
+            P, acc, segments, passes, live, fill = lax.cond(
+                can_splice, do_splice, do_makeroom,
+                (P, acc, segments, passes, live, fill))
+            live = live + batch_n.astype(jnp.float32)
+            return j + 1, P, acc, segments, passes, live, fill
+
+        _, P, acc, segments, passes, live, fill = lax.while_loop(
             spill_cond, spill_body,
-            (jnp.uint32(0), P, acc, segments, passes, live))
-        return P, acc, segments, passes, live
+            (jnp.uint32(0), P, acc, segments, passes, live, fill))
+        return P, acc, segments, passes, live, fill
 
     acc0 = jnp.zeros((n, 3), jnp.float32)
-    P0 = (jnp.zeros((W, 3), jnp.float32),
-          jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (W, 3)),
-          jnp.zeros((W, 3), jnp.float32),
-          jnp.zeros((W, 3), jnp.float32),
-          jnp.zeros((W,), jnp.uint32),
-          jnp.zeros((W,), jnp.uint32),
-          jnp.zeros((W,), bool))
-    P, acc, segments, passes, live = lax.fori_loop(
+    zW = jnp.zeros((W,), jnp.float32)
+    P0 = (zW, zW, zW,                          # ro
+          zW, zW, jnp.ones((W,), jnp.float32),  # rd = (0,0,1) inert unit
+          zW, zW, zW,                          # throughput
+          zW, zW, zW,                          # carried rad
+          jnp.zeros((W,), jnp.uint32),         # work-item id
+          jnp.zeros((W,), jnp.uint32),         # bounce
+          jnp.zeros((W,), bool))               # alive
+    P, acc, segments, passes, live, _fill = lax.fori_loop(
         0, n_chunks, chunk_body,
-        (P0, acc0, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)))
+        (P0, acc0, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+         jnp.uint32(0)))
 
     # --------------------------------------------- end-of-render cascade --
+    passes_chunkphase = passes
     levels = []
     if limit > 1:
         lw = _r256(W // drain_ratio)
         while 256 <= lw < (levels[-1] if levels else W):
             levels.append(lw)
             lw = _r256(lw // drain_ratio)
+    by_level = []
     P, segments, passes, live = run_until(P, segments, passes, live,
                                           levels[0] if levels else 0)
+    by_level.append(passes)
     for li, lw in enumerate(levels):
         P, acc = compact_to(P, acc, lw)
         nxt = levels[li + 1] if li + 1 < len(levels) else 0
         P, segments, passes, live = run_until(P, segments, passes, live,
                                               nxt)
+        by_level.append(passes)
     # final flush: every lane is dead; deposit all remaining carried rad
-    _, _, _, rad, wid, _, _ = P
-    acc = acc.at[wid // uspp].add(rad)
+    acc = acc.at[P[12] // uspp].add(_v3(P[9], P[10], P[11]))
 
     if stats:
+        # passes_by_width: [(pass width, passes run at it)] — chunk-phase
+        # make-room passes at W, the cascade head (also at W), then each
+        # cascade level
+        widths = [W, W] + levels
+        cum = [passes_chunkphase] + by_level
+        per = [cum[0]] + [cum[i + 1] - cum[i] for i in range(len(cum) - 1)]
         return acc, segments, {"chunk_spp": chunk_spp, "n_chunks": n_chunks,
                                "cap": cap, "pool_w": W,
-                               "levels": tuple(levels), "passes": passes}
+                               "levels": tuple(levels), "passes": passes,
+                               "passes_chunkphase": passes_chunkphase,
+                               "passes_by_width": tuple(zip(widths, per))}
     return acc, segments
