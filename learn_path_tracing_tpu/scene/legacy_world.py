@@ -770,17 +770,22 @@ def _assemble_hits(world: LegacyWorldData, rays: Rays, t_best, prim_best,
 
 def _hit_legacy_fused(world: LegacyWorldData, rays: Rays,
                       eps: float = EPSILON, interpret: bool = False) -> Hits:
-    """Single-mesh fast path: ONE coherence sort, attributes computed in
-    sorted order on the treelet-entered prefix, ONE restoring sort.
+    """Single-mesh fast path: ONE coherence sort, a hit-compaction sort,
+    attributes computed on the EXACT hit prefix, ONE restoring sort.
 
     Per-pass cost on the tunneled TPU runtime is dominated by kernel-launch
     count, and the composed path (packet_traverse's sort+unsort followed by
     _shade_attrs' compact+restore sorts) launches 5 multi-operand sorts per
-    bounce. This path launches 2: lanes are traversed AND shaded in
-    coherence-sorted order — every lane that can hit the mesh enters >= 1
-    depth-2 treelet, so the attrs prefix bound comes free from the sort key
-    (packet_traverse_sorted) — and one final 14-operand sort restores lane
-    order for t/prim/attrs together. Results are bitwise identical to the
+    bounce. This path launches 3: lanes are traversed in coherence-sorted
+    order (packet_traverse_sorted), hit lanes compact to a prefix through
+    a 7-operand sort, the attrs gathers/taps run on the narrowest static
+    prefix covering the exact hit count, and one final 14-operand sort
+    restores lane order for t/prim/attrs together. The earlier 2-sort
+    variant bounded attrs by the treelet-ENTERED prefix instead; on
+    mesh-local secondary wavefronts every live lane enters a treelet, so
+    attrs ran at ~4x the hit count (73 ns/row x the excess — ~60 ms of a
+    146 ms pool pass at 1M lanes, profile_hybrid poolreal 2026-08-21).
+    The extra sort costs ~1 ms/230k. Results are bitwise identical to the
     composed path (same kernel, same attrs math, permutation-exact sorts).
     """
     from ..ops.packet_traverse import packet_traverse_sorted
@@ -797,17 +802,26 @@ def _hit_legacy_fused(world: LegacyWorldData, rays: Rays,
     hit_s = prim_s >= 0
     t_safe_s = jnp.where(hit_s, t_s, 0.0)
     point_s = ro_s + t_safe_s[:, None] * rd_s
-    pidx_s = jnp.maximum(prim_s, 0)
-    src_s = jnp.where(hit_s, 1, -1)
-    nrm, suv, alb, rgh, met, tra = _attrs_switch(
-        world, point_s, pidx_s, src_s, hit_s, entered_n)
 
-    # single restoring sort: order_idx is a permutation, so this is exact
     import jax
 
+    # hit-compaction sort: hits to the front, carrying everything attrs
+    # and the final restore need (order_idx rides along, so the restore
+    # goes straight back to caller lane order)
+    nhits = jnp.sum(hit_s.astype(jnp.int32))
+    (_, t_c, prim_c, px, py, pz, oidx_c) = jax.lax.sort(
+        ((~hit_s).astype(jnp.int32), t_s, prim_s,
+         point_s[:, 0], point_s[:, 1], point_s[:, 2], order_idx),
+        num_keys=1)
+    hit_c = jnp.arange(t_c.shape[0], dtype=jnp.int32) < nhits
+    nrm, suv, alb, rgh, met, tra = _attrs_switch(
+        world, jnp.stack([px, py, pz], -1), jnp.maximum(prim_c, 0),
+        jnp.where(hit_c, 1, -1), hit_c, nhits)
+
+    # single restoring sort: oidx_c is a permutation, so this is exact
     (_, t, prim, n0, n1, n2, u0, u1, a0, a1, a2, rgho, meto, trao) = \
         jax.lax.sort(
-            (order_idx, t_s, prim_s, nrm[:, 0], nrm[:, 1], nrm[:, 2],
+            (oidx_c, t_c, prim_c, nrm[:, 0], nrm[:, 1], nrm[:, 2],
              suv[:, 0], suv[:, 1], alb[:, 0], alb[:, 1], alb[:, 2],
              rgh, met, tra), num_keys=1)
     hit_mask = prim >= 0

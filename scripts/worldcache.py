@@ -54,6 +54,8 @@ def load_world(path=YOIMIYA, cache=True):
     for f in deps:
         with open(f, "rb") as fh:
             h.update(fh.read())
+    # build-time env knobs change the built tables (e.g. bf16 node rows)
+    h.update(os.environ.get("LPT_PACKET_BF16", "0").encode())
     rev = h.hexdigest()[:12]
     cpath = (f"/tmp/lpt_worldcache-{tag}-{int(os.path.getmtime(path))}"
              f"-{rev}.pkl")
