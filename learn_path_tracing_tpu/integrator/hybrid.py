@@ -161,6 +161,12 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
         # Past the cap, make-room draining returns as the fallback — but
         # those passes run with the pool full (~95% occupancy), which is
         # the point; zero passes was never the goal, cheap ones were.
+        # memory cap 1M lanes: XLA:TPU's variadic sort allocates ~2x
+        # next-pow2 scratch PER OPERAND, and pool passes sort ~19 columns
+        # — a 1.84M-row pool compiled to 19.2G of HBM temps (OOM at
+        # 15.75G, 2026-08-21). At 1M (already a power of two) the same
+        # sorts fit comfortably; overflowing scenes pay a couple of
+        # high-occupancy make-room passes instead.
         pool_w = min(max(n * spp // 8, 2 * cap), 1 << 20)
     pool_w = _r256(min(pool_w, n * spp))
     pool_w = max(pool_w, cap)
@@ -186,39 +192,52 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
         return jnp.stack([c0, c1, c2], axis=-1)
 
     def pool_pass(P, segments):
-        """One secondary bounce pass over the pool. Escape radiance goes to
-        the carried per-lane ``rad`` (deposited on eviction), not to acc."""
+        """One COMPACTING secondary bounce pass over the pool
+        (scene.legacy_world.trace_shade_compact): the pool's per-lane
+        state rides the traversal's coherence sort and a hit-compaction
+        sort, so the pass returns the pool with its alive lanes inside
+        the prefix ``[0, nhits)`` — no restoring sort, attrs on the exact
+        hit count, and cascade narrowing becomes a slice. Escape radiance
+        goes to the carried per-lane ``rad`` (deposited on narrowing or
+        final flush), not to acc."""
+        from ..scene.legacy_world import trace_shade_compact
+
         (ro0, ro1, ro2, rd0, rd1, rd2, th0, th1, th2,
          ra0, ra1, ra2, wid, bounce, alive) = P
-        rd = _v3(rd0, rd1, rd2)
-        thp = _v3(th0, th1, th2)
-        rays = Rays(ro=_v3(ro0, ro1, ro2), rd=rd, throughput=thp,
-                    alive=alive)
-        hits = hit_fn(world_data, rays, hit_backend)
         live = jnp.sum(alive.astype(jnp.float32))
-        escaped = alive & ~hits.hit
-        env = background_fn(world_data, rd, escaped)
+        payload = (th0, th1, th2, ra0, ra1, ra2, wid, bounce, alive)
+        hits, rd_c, payload_c, nhits = trace_shade_compact(
+            world_data, _v3(ro0, ro1, ro2), _v3(rd0, rd1, rd2), alive,
+            payload)
+        (th0, th1, th2, ra0, ra1, ra2, wid, bounce, alive_c) = payload_c
+        escaped = alive_c & ~hits.hit
+        env = background_fn(world_data, rd_c, escaped)
         ra0 = ra0 + jnp.where(escaped, env[:, 0] * th0, 0.0)
         ra1 = ra1 + jnp.where(escaped, env[:, 1] * th1, 0.0)
         ra2 = ra2 + jnp.where(escaped, env[:, 2] * th2, 0.0)
         pix = wid // uspp + pixel_base
         smp = wid % uspp + sample_base
         base = rng.base(rng.stream(seed, smp, bounce, rng.STREAM_BSDF), pix)
-        sc = scatter(rays, hits, base)
-        survived = alive & hits.hit & (bounce + 1 < jnp.uint32(limit))
-        # dead lanes keep their previous (finite) ray state: hit_legacy
-        # clamps miss t to 0 before hits.point, so sc is finite everywhere,
-        # but keeping old values is free and independent of that invariant
+        rays_c = Rays(ro=hits.point, rd=rd_c, throughput=_v3(th0, th1, th2),
+                      alive=alive_c)
+        sc = scatter(rays_c, hits, base)
+        survived = alive_c & hits.hit & (bounce + 1 < jnp.uint32(limit))
+        # dead lanes keep finite ray state: miss lanes' hits.point is the
+        # original origin (t clamps to 0), rd_c is their own direction
         w_ = jnp.where
-        P = (w_(survived, sc.ro[:, 0], ro0), w_(survived, sc.ro[:, 1], ro1),
-             w_(survived, sc.ro[:, 2], ro2), w_(survived, sc.rd[:, 0], rd0),
-             w_(survived, sc.rd[:, 1], rd1), w_(survived, sc.rd[:, 2], rd2),
+        P = (w_(survived, sc.ro[:, 0], hits.point[:, 0]),
+             w_(survived, sc.ro[:, 1], hits.point[:, 1]),
+             w_(survived, sc.ro[:, 2], hits.point[:, 2]),
+             w_(survived, sc.rd[:, 0], rd_c[:, 0]),
+             w_(survived, sc.rd[:, 1], rd_c[:, 1]),
+             w_(survived, sc.rd[:, 2], rd_c[:, 2]),
              w_(survived, sc.throughput[:, 0], th0),
              w_(survived, sc.throughput[:, 1], th1),
              w_(survived, sc.throughput[:, 2], th2),
              ra0, ra1, ra2, wid,
              w_(survived, bounce + 1, bounce), survived)
-        return P, segments + live, jnp.sum(survived.astype(jnp.float32))
+        return (P, segments + live, jnp.sum(survived.astype(jnp.float32)),
+                nhits)
 
     def sort_pool(P, dead_first: bool):
         """Payload-through-sort of the whole pool by aliveness (argsort +
@@ -250,14 +269,16 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
 
         return tuple(splice(pf, bf) for pf, bf in zip(P, bcols)), acc
 
-    def run_until(P, segments, passes, live, threshold):
-        """Pool passes until live <= threshold (traced or static scalar)."""
+    def run_until_live(P, segments, passes, live, threshold):
+        """Pool passes until live <= threshold (the make-room fallback's
+        condition: merge only needs enough DEAD slots, wherever they sit,
+        because its dead-first sort gathers them)."""
         def c(st):
             return st[-1] > st[-2]
 
         def b(st):
             P, seg, ps, thr, live = st
-            P, seg, live = pool_pass(P, seg)
+            P, seg, live, _nh = pool_pass(P, seg)
             return P, seg, ps + 1.0, thr, live
 
         P, segments, passes, _, live = lax.while_loop(
@@ -265,11 +286,31 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
                    jnp.asarray(threshold, jnp.float32), live))
         return P, segments, passes, live
 
-    def compact_to(P, acc, lw):
-        """Keep the ``lw`` most-alive lanes; deposit the dropped suffix's
-        carried radiance (all dropped lanes are dead — callers narrow only
-        when live <= lw)."""
-        P = sort_pool(P, dead_first=False)
+    def run_until_marker(P, segments, passes, live, marker, threshold):
+        """Pool passes until the alive-containing PREFIX fits ``threshold``
+        (or nothing is alive). ``marker`` bounds the prefix that can hold
+        alive lanes: pool_pass hit-compacts, so after a pass it is that
+        pass's ``nhits``; a freshly spliced or merged pool starts at W.
+        The cascade narrows by SLICING at this guarantee — no sort."""
+        def c(st):
+            return (st[-1] > st[-3]) & (st[-2] > 0)
+
+        def b(st):
+            P, seg, ps, thr, live, marker = st
+            P, seg, live, nh = pool_pass(P, seg)
+            return P, seg, ps + 1.0, thr, live, nh
+
+        P, segments, passes, _, live, marker = lax.while_loop(
+            c, b, (P, segments, passes, jnp.asarray(threshold, jnp.int32),
+                   live, marker))
+        return P, segments, passes, live, marker
+
+    def compact_slice(P, acc, lw):
+        """Narrow the pool to ``lw`` rows by slicing — callers guarantee
+        (via run_until_marker) that every alive lane sits in [0, lw).
+        The dropped suffix is all dead; deposit its carried radiance
+        (virgin never-spliced rows carry rad = 0, wid = 0 — harmless
+        zero-adds to pixel 0)."""
         ra0, ra1, ra2, wid = P[9], P[10], P[11], P[12]
         acc = acc.at[wid[lw:] // uspp].add(
             _v3(ra0[lw:], ra1[lw:], ra2[lw:]))
@@ -375,7 +416,7 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
             # W so every later batch also takes this branch.
             def do_makeroom(op):
                 P, acc, segments, passes, live, fill = op
-                P, segments, passes, live = run_until(
+                P, segments, passes, live = run_until_live(
                     P, segments, passes, live,
                     jnp.float32(W) - batch_n.astype(jnp.float32))
                 P, acc = merge(P, bcols, batch_n, acc)
@@ -416,14 +457,16 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
             levels.append(lw)
             lw = _r256(lw // drain_ratio)
     by_level = []
-    P, segments, passes, live = run_until(P, segments, passes, live,
-                                          levels[0] if levels else 0)
+    marker = jnp.int32(W)   # splices leave alive lanes anywhere in [0, W)
+    P, segments, passes, live, marker = run_until_marker(
+        P, segments, passes, live, marker, levels[0] if levels else 0)
     by_level.append(passes)
     for li, lw in enumerate(levels):
-        P, acc = compact_to(P, acc, lw)
+        P, acc = compact_slice(P, acc, lw)
+        marker = jnp.minimum(marker, jnp.int32(lw))
         nxt = levels[li + 1] if li + 1 < len(levels) else 0
-        P, segments, passes, live = run_until(P, segments, passes, live,
-                                              nxt)
+        P, segments, passes, live, marker = run_until_marker(
+            P, segments, passes, live, marker, nxt)
         by_level.append(passes)
     # final flush: every lane is dead; deposit all remaining carried rad
     acc = acc.at[P[12] // uspp].add(_v3(P[9], P[10], P[11]))

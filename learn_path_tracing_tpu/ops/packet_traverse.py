@@ -1287,7 +1287,8 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
                            eps: float = 1e-4, interpret: bool = False,
                            sort_key: str = "treelet", treelets=None,
                            version: int | None = None,
-                           restart: bool = False, seed_codes=None):
+                           restart: bool = False, seed_codes=None,
+                           payload=()):
     """Coherence-sorted traversal for FUSED hit shading (single-structure
     worlds; t_init is implicitly +inf — no cross-structure seeding).
 
@@ -1309,6 +1310,13 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
     Returns ``(t_s, prim_s, ro_s, rd_s, entered_n, order_idx)``: ``t_s`` is
     +inf where unbeaten, ``entered_n`` i32 = sorted lanes entering any
     treelet, ``order_idx[i]`` = original lane id of sorted slot ``i``.
+
+    ``payload``: optional tuple of extra ``[N]`` columns carried through
+    the coherence sort unchanged (pool integrators whose lane order is
+    free ride their whole per-lane state through this sort instead of
+    paying a restoring sort — trace_shade_compact). When non-empty the
+    return gains a 7th element ``payload_s`` (the columns in sorted
+    order).
     """
     if sort_key != "treelet":
         # the entered-prefix property (hits ⊆ first entered_n sorted lanes)
@@ -1334,18 +1342,21 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
                              treelets=treelets)
     key = jnp.where(active, key, jnp.int32(_KEY_INACTIVE))
     idx = jnp.arange(n, dtype=jnp.int32)
+    payload = tuple(payload)
     if restart:
         # inactive lanes must not contribute entered treelets to any block
         w0 = jnp.where(active, w0, 0)
         w1 = jnp.where(active, w1, 0)
         ops = jax.lax.sort(
             (key, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1],
-             rd[:, 2], idx, w0, w1), num_keys=1)
+             rd[:, 2], idx, w0, w1) + payload, num_keys=1)
         w0_s, w1_s = ops[8], ops[9]
+        payload_s = ops[10:]
     else:
         ops = jax.lax.sort(
             (key, ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1],
-             rd[:, 2], idx), num_keys=1)
+             rd[:, 2], idx) + payload, num_keys=1)
+        payload_s = ops[8:]
     key_s, order_idx = ops[0], ops[7]
     ro_s = jnp.stack(ops[1:4], axis=1)
     rd_s = jnp.stack(ops[4:7], axis=1)
@@ -1403,6 +1414,8 @@ def packet_traverse_sorted(nodes, entries, runs, ro, rd, active,
                               seed_rows=seed_rows)
     prim_s = prim[0, :n]
     t_s = jnp.where(prim_s >= 0, t[0, :n], jnp.inf)
+    if payload:
+        return t_s, prim_s, ro_s, rd_s, entered_n, order_idx, payload_s
     return t_s, prim_s, ro_s, rd_s, entered_n, order_idx
 
 

@@ -751,12 +751,21 @@ def _assemble_hits(world: LegacyWorldData, rays: Rays, t_best, prim_best,
     """Shared hit-record tail: legacy constants + back-face handling
     (propagate_once, 15_module.py:985-988): flip normal, invert ior, zero
     absorptivity."""
-    n = rays.count
     t_safe = jnp.where(hit_mask, t_best, 0.0)
     point = rays.ro + t_safe[:, None] * rays.rd
+    return _assemble_hits_at(rays.rd, point, t_best, prim_best, hit_mask,
+                             normal, uv, albedo, roughness, metallic,
+                             transparency)
+
+
+def _assemble_hits_at(rd, point, t_best, prim_best, hit_mask, normal, uv,
+                      albedo, roughness, metallic, transparency) -> Hits:
+    """_assemble_hits for callers that already hold hit points (compacted
+    orders where the ray origin was not carried)."""
+    n = rd.shape[0]
     ior = jnp.full((n,), LEGACY_IOR, jnp.float32)
     absorptivity = jnp.full((n,), LEGACY_ABSORPTIVITY, jnp.float32)
-    backface = (jnp.sum(rays.rd * normal, axis=-1) > 0.0) & hit_mask
+    backface = (jnp.sum(rd * normal, axis=-1) > 0.0) & hit_mask
     normal = jnp.where(backface[:, None], -normal, normal)
     ior = jnp.where(backface, 1.0 / ior, ior)
     absorptivity = jnp.where(backface, 0.0, absorptivity)
@@ -994,6 +1003,80 @@ def hit_legacy(world: LegacyWorldData, rays: Rays, eps: float = EPSILON,
     t_best, prim_best, src_best = trace_legacy(world, rays, eps=eps,
                                                sort_rays=sort_rays)
     return shade_from_trace(world, rays, t_best, prim_best, src_best)
+
+
+def trace_shade_compact(world: LegacyWorldData, ro, rd, alive, payload,
+                        eps: float = EPSILON):
+    """Fused bounce step for pool integrators whose lane order is FREE:
+    traverse, hit-compact, shade attributes on the exact hit prefix — and
+    never restore lane order.
+
+    The fused hit path (_hit_legacy_fused) pays a 14-operand restoring
+    sort per pass because ``hit_legacy`` must return lanes in caller
+    order. A persistent/hybrid pool does not care about its own lane
+    order (RNG streams key on the carried work-item id, radiance
+    accumulation on the derived pixel id), so this entry instead carries
+    the caller's whole per-lane state (``payload``: tuple of [N] columns)
+    THROUGH the traversal's coherence sort and one hit-compaction sort,
+    returning everything permuted-and-compacted: rows ``[0, nhits)`` are
+    the hits, the suffix holds misses and inactive lanes. Downstream
+    passes get three structural wins: attrs run on the exact hit count
+    (not the treelet-entered bound), the pool's alive set becomes a
+    near-prefix so cascade narrowing is a SLICE instead of a 16-operand
+    sort, and no restoring sort runs at all.
+
+    On accelerators with a single packet-table mesh this is 2 sorts per
+    bounce; on CPU (or sphere/multi-structure worlds) it composes the
+    portable ``trace_legacy`` with the same compaction sort — identical
+    results, so the CPU test tier pins the accelerated path's semantics.
+
+    Returns ``(hits, rd_c, payload_c, nhits)``: ``hits`` a Hits struct in
+    compacted order (reference semantics incl. the back-face flip,
+    15_module.py:985-988), ``rd_c`` the incident directions, ``payload_c``
+    the caller columns, ``nhits`` i32.
+    """
+    import jax
+
+    n = ro.shape[0]
+    payload = tuple(payload)
+    interp = _FORCE_ACCEL_INTERPRET
+    on_accel = jax.default_backend() != "cpu" or interp
+    if (on_accel and world.spheres is None and len(world.meshes) == 1
+            and world.meshes[0].packet is not None and n >= 4096):
+        from ..ops.packet_traverse import packet_traverse_sorted
+
+        mesh = world.meshes[0]
+        nodes, entries, runs = mesh.packet
+        t_s, prim_s, ro_s, rd_s, _entn, _oidx, payload_s = \
+            packet_traverse_sorted(nodes, entries, runs, ro, rd, alive,
+                                   eps=eps, interpret=interp,
+                                   treelets=mesh.treelets, payload=payload)
+        src_s = jnp.where(prim_s >= 0, 1, -1)
+    else:
+        rays = Rays(ro=ro, rd=rd, throughput=jnp.ones_like(ro), alive=alive)
+        t_s, prim_s, src_s = trace_legacy(world, rays, eps=eps)
+        prim_s = jnp.where(alive, prim_s, -1)
+        t_s = jnp.where(prim_s >= 0, t_s, jnp.inf)
+        ro_s, rd_s, payload_s = ro, rd, payload
+
+    hit_s = prim_s >= 0
+    t_safe = jnp.where(hit_s, t_s, 0.0)
+    point_s = ro_s + t_safe[:, None] * rd_s
+    nhits = jnp.sum(hit_s.astype(jnp.int32))
+    ops = jax.lax.sort(
+        ((~hit_s).astype(jnp.int32), t_s, prim_s, src_s,
+         point_s[:, 0], point_s[:, 1], point_s[:, 2],
+         rd_s[:, 0], rd_s[:, 1], rd_s[:, 2]) + tuple(payload_s), num_keys=1)
+    (_, t_c, prim_c, src_c, px, py, pz, rdx, rdy, rdz) = ops[:10]
+    payload_c = ops[10:]
+    point_c = jnp.stack([px, py, pz], -1)
+    rd_c = jnp.stack([rdx, rdy, rdz], -1)
+    hit_c = jnp.arange(n, dtype=jnp.int32) < nhits
+    nrm, suv, alb, rgh, met, tra = _attrs_switch(
+        world, point_c, jnp.maximum(prim_c, 0), src_c, hit_c, nhits)
+    hits = _assemble_hits_at(rd_c, point_c, jnp.where(hit_c, t_c, jnp.inf),
+                             prim_c, hit_c, nrm, suv, alb, rgh, met, tra)
+    return hits, rd_c, payload_c, nhits
 
 
 def environment_color(envs: StripAtlas, env_id, rd, mask=None,

@@ -639,3 +639,72 @@ def test_sphere_scan_ceiling_warns(monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         jax.eval_shape(hit_legacy, world_with(64), rays)
+
+
+@pytest.mark.slow  # interpret-mode packet kernel (~30 s/core)
+def test_trace_shade_compact_matches_hit_legacy(monkeypatch):
+    """trace_shade_compact's accelerator branch (payload through the
+    traversal sort + hit-compaction, no restoring sort) must agree with
+    hit_legacy per work item: same hit set, same t/attrs for each carried
+    tag, hits exactly in the prefix [0, nhits)."""
+    import learn_path_tracing_tpu.scene.legacy_world as lw
+    from learn_path_tracing_tpu.scene.legacy_world import trace_shade_compact
+
+    monkeypatch.setattr(lw, "_FORCE_ACCEL_INTERPRET", True)
+
+    world = LegacyWorld()
+    world.add_mesh(_quad_mesh())
+    world.textures.add("missing", 0, size=(8, 8))
+    world.set_environment(0)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        world.build()
+    wd = world.device()
+
+    n = 2048
+    rs = np.random.RandomState(13)
+    target = np.concatenate(
+        [rs.uniform(0.05, 1.95, (n, 2)), np.zeros((n, 1))], axis=1)
+    ro = rs.uniform(-3, 3, (n, 3)).astype(np.float32)
+    ro[:, 2] = np.where(rs.rand(n) < 0.5, rs.uniform(2, 6, n),
+                        rs.uniform(-6, -2, n)).astype(np.float32)
+    rd = (target - ro).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    alive = rs.rand(n) > 0.15
+    rays = Rays(ro=jnp.asarray(ro), rd=jnp.asarray(rd),
+                throughput=jnp.ones((n, 3), jnp.float32),
+                alive=jnp.asarray(alive))
+
+    ref = hit_legacy(wd, rays)  # composed path, lane order
+    tag = jnp.arange(n, dtype=jnp.uint32)
+    hits, rd_c, (tag_c,), nhits = trace_shade_compact(
+        wd, rays.ro, rays.rd, rays.alive, (tag,))
+
+    tag_c = np.asarray(tag_c)
+    nhits = int(nhits)
+    hit_ref = np.asarray(ref.hit)
+    # prefix rows are exactly the reference's hit lanes (as a set)
+    assert nhits == hit_ref.sum()
+    assert np.array_equal(np.sort(tag_c[:nhits]),
+                          np.flatnonzero(hit_ref).astype(np.uint32))
+    assert np.asarray(hits.hit)[:nhits].all()
+    assert not np.asarray(hits.hit)[nhits:].any()
+    # per work item: t and geometry bitwise, taps within fusion 1-ulp
+    inv = tag_c[:nhits]
+    np.testing.assert_array_equal(np.asarray(hits.t)[:nhits],
+                                  np.asarray(ref.t)[inv])
+    np.testing.assert_array_equal(np.asarray(hits.obj)[:nhits],
+                                  np.asarray(ref.obj)[inv])
+    for name in ("normal", "uv", "point"):
+        np.testing.assert_array_equal(np.asarray(getattr(hits, name))[:nhits],
+                                      np.asarray(getattr(ref, name))[inv])
+    np.testing.assert_array_equal(np.asarray(rd_c)[:nhits],
+                                  np.asarray(rays.rd)[inv])
+    for name in ("albedo", "roughness", "metallic", "ior", "absorptivity",
+                 "transparency"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hits.material, name))[:nhits],
+            np.asarray(getattr(ref.material, name))[inv],
+            rtol=3e-7, atol=1e-7)

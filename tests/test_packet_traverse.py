@@ -209,3 +209,35 @@ def test_packet_sorted_restart_exact(np_rng):
     assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))  # prim
     assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))  # t
     assert int(a[4]) == int(b[4])
+
+
+def test_packet_sorted_payload_rides_the_sort(np_rng):
+    """payload columns must come back permuted exactly like order_idx
+    (trace_shade_compact carries pool state through this sort)."""
+    from learn_path_tracing_tpu.ops.packet_traverse import (
+        RAY_BLOCK,
+        packet_traverse_sorted,
+    )
+
+    v0, v1, v2 = _mesh(np_rng, 30)
+    flat, wide, (nodes, entries, runs) = _tables(v0, v1, v2)
+    n_r = RAY_BLOCK + 512
+    ro = np_rng.normal(size=(n_r, 3)).astype(np.float32) * 4
+    rd = np_rng.normal(size=(n_r, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    active = jnp.asarray(np_rng.random(n_r) < 0.8)
+    tag = jnp.arange(n_r, dtype=jnp.uint32) * 3 + 7
+    val = jnp.asarray(np_rng.normal(size=(n_r,)).astype(np.float32))
+    out = packet_traverse_sorted(nodes, entries, runs, jnp.asarray(ro),
+                                 jnp.asarray(rd), active, interpret=True,
+                                 version=2, payload=(tag, val))
+    t_s, prim_s, ro_s, rd_s, entered_n, order_idx, payload_s = out
+    oidx = np.asarray(order_idx)
+    assert np.array_equal(np.asarray(payload_s[0]), np.asarray(tag)[oidx])
+    assert np.array_equal(np.asarray(payload_s[1]), np.asarray(val)[oidx])
+    # baseline without payload is unchanged
+    base = packet_traverse_sorted(nodes, entries, runs, jnp.asarray(ro),
+                                  jnp.asarray(rd), active, interpret=True,
+                                  version=2)
+    assert np.array_equal(np.asarray(base[1]), np.asarray(prim_s))
+    assert np.array_equal(np.asarray(base[5]), oidx)
