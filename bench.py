@@ -34,11 +34,11 @@ def main():
                         "pool = n/pool_div lanes, each running "
                         "pool_div*spp work items")
     p.add_argument("--engine", type=str, default="auto",
-                   choices=["auto", "persistent", "cohort", "hybrid"],
-                   help="auto: measured-best per scene — currently "
-                        "persistent everywhere (cohort measured slower "
-                        "end-to-end; hybrid under evaluation, see "
-                        "integrator/hybrid.py)")
+                   choices=["auto", "persistent", "hybrid"],
+                   help="auto: measured-best per scene — hybrid for legacy "
+                        "mesh scenes (14.1 vs persistent 12.5 Mrays/s on "
+                        "yoimiya, BASELINE.md round-4), persistent for "
+                        "sphere scenes")
     p.add_argument("--cap", type=int, default=0,
                    help="hybrid survivor batch width (0 = auto: slab/8)")
     p.add_argument("--pool-w", type=int, default=0,
@@ -47,17 +47,7 @@ def main():
     p.add_argument("--drain-ratio", type=int, default=2,
                    help="hybrid end-of-render cascade narrowing ratio")
     p.add_argument("--chunk-spp", type=int, default=0,
-                   help="cohort primary slab spp (0 = auto)")
-    p.add_argument("--sec-ratio", type=int, default=4,
-                   help="cohort secondary cascade narrowing ratio")
-    p.add_argument("--sec-start-div", type=int, default=0,
-                   help="cohort first cascade level = slab/div (0 = ratio)")
-    p.add_argument("--defer-scatter", action="store_true",
-                   help="cohort: bounce-0 scatter after the first "
-                        "compaction (NaN-poisons if survivors overflow "
-                        "the first level)")
-    p.add_argument("--primary-sort", type=int, default=-1,
-                   help="cohort primary coherence sort: -1 auto, 0 off, 1 on")
+                   help="hybrid primary slab spp (0 = auto)")
     p.add_argument("--scene", type=str, default="10_final",
                    choices=["10_final", "yoimiya"],
                    help="10_final: sphere cover scene (headline); "
@@ -178,10 +168,11 @@ def main():
 
     engine = args.engine
     if engine == "auto":
-        # cohort's first cut measured 6.51 Mrays/s vs persistent's 12.2 on
-        # yoimiya (2026-08-20) — persistent stays the default until the
-        # cohort pipeline wins end-to-end (profile_cohort.py tracks it).
-        engine = "persistent"
+        # measured-best per scene (BASELINE.md round-4 engine matrix):
+        # hybrid 14.1 vs persistent 12.5 on the yoimiya mesh; persistent
+        # stays fastest on sphere scenes (the hybrid's dense primary
+        # decomposition targets BVH workloads)
+        engine = "hybrid" if scene_kind == "legacy" else "persistent"
 
     if engine == "hybrid":
         from learn_path_tracing_tpu.integrator.hybrid import render_hybrid
@@ -194,21 +185,6 @@ def main():
                                  chunk_spp=args.chunk_spp, cap=args.cap,
                                  pool_w=args.pool_w,
                                  drain_ratio=args.drain_ratio)
-    elif engine == "cohort":
-        from learn_path_tracing_tpu.integrator.cohort import render_cohort
-
-        psort = None if args.primary_sort < 0 else bool(args.primary_sort)
-
-        def run(seed):
-            return render_cohort(wd, cp, res, spp=args.spp, limit=args.limit,
-                                 seed=seed, bsdf=bsdf,
-                                 camera_model=cam_model, scene=scene_kind,
-                                 hit_backend=args.hit_backend,
-                                 chunk_spp=args.chunk_spp,
-                                 sec_ratio=args.sec_ratio,
-                                 sec_start_div=args.sec_start_div,
-                                 defer_scatter=args.defer_scatter,
-                                 primary_sort=psort)
     else:
         def run(seed):
             return render_persistent(wd, cp, res, spp=args.spp,

@@ -57,7 +57,7 @@ def main():
         cam.look_at((0, 8, 0))
         return cam
 
-    for spp in (4, 16):
+    for spp in (4, 8, 16):
         configs.append(("yoimiya", wd, spp, 10, 0))
     # preview mode: spp 4, limit 2 while moving
     configs.append(("yoimiya+preview", wd, 16, 10, 4))

@@ -10,7 +10,33 @@ from learn_path_tracing_tpu.camera import Camera
 from learn_path_tracing_tpu.integrator.hybrid import render_hybrid
 from learn_path_tracing_tpu.integrator.wavefront import render
 
-from test_cohort import _mini_legacy_world
+
+def _mini_legacy_world():
+    # (moved from the retired test_cohort.py, round 4 — the cohort
+    # integrator was deleted after the hybrid superseded it, BASELINE.md)
+    import warnings
+
+    from learn_path_tracing_tpu.io.obj import MeshData
+    from learn_path_tracing_tpu.scene.legacy_world import LegacyWorld
+
+    world = LegacyWorld()
+    world.add_mesh(MeshData(
+        positions=np.array([[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]],
+                           np.float32),
+        normals=np.array([[0, 1, 0]], np.float32),
+        uvs=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+        face_p=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        face_n=np.zeros((2, 3), np.int32),
+        face_t=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        face_tex=np.zeros(2, np.int32),
+    ))
+    world.add_sphere((0, 1, 0), 0.8, transparency=0, texture_id=0)
+    world.textures.add("missing", 0, size=(8, 8))
+    world.set_environment(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return world.build()
+
 
 RES = (28, 20)
 
