@@ -56,6 +56,12 @@ def main():
                    help="report wall seconds to render 1024spp at 1080p "
                         "(the BASELINE.json time-to-quality metric), "
                         "chunked so no device call trips the watchdog")
+    p.add_argument("--sweep-res", action="store_true",
+                   help="resolution-scaling guard (round-4 verdict ask #5): "
+                        "print one JSON line per resolution "
+                        "(720p/1080p/1440p/4K at --spp) so a "
+                        "resolution-dependent regression cannot hide "
+                        "behind the 720p headline")
     p.add_argument("--flagship", action="store_true",
                    help="the reference's flagship mesh workload: Yoimiya at "
                         "3000x2000, 32 spp, depth 32 "
@@ -91,7 +97,11 @@ def main():
         from learn_path_tracing_tpu.models import random_scene, stage10_camera
 
         wd = random_scene(seed=20230328).device()
-        cp = stage10_camera(res).params()
+
+        def make_cam(r):
+            return stage10_camera(r).params()
+
+        cp = make_cam(res)
         scene_kind, bsdf = "spheres", "modern"
         metric = "mrays_per_sec_chip_10final"
     else:
@@ -106,11 +116,14 @@ def main():
             warnings.simplefilter("ignore")
             wd = world.load("/root/reference/legacy/Yoimiya.world.npy",
                             path_map=make_asset_path_map())
-        cam = LegacyCamera(res)
-        cam.set_fov(30)
-        cam.set_position((0, 8, -30))
-        cam.look_at((0, 8, 0))
-        cp = cam.params()
+        def make_cam(r):
+            cam = LegacyCamera(r)
+            cam.set_fov(30)
+            cam.set_position((0, 8, -30))
+            cam.look_at((0, 8, 0))
+            return cam.params()
+
+        cp = make_cam(res)
         scene_kind, bsdf = "legacy", "legacy"
         metric = "bvh_mrays_per_sec_chip_yoimiya"
 
@@ -119,24 +132,55 @@ def main():
     # skips the disk sample + second RNG hash on every regen pass.
     cam_model = "jitter" if scene_kind == "legacy" else "thinlens"
 
+    engine = args.engine
+    if engine == "auto":
+        # measured-best per scene (BASELINE.md round-4 engine matrix):
+        # hybrid 14.1 vs persistent 12.5 on the yoimiya mesh; persistent
+        # stays fastest on sphere scenes (the hybrid's dense primary
+        # decomposition targets BVH workloads)
+        engine = "hybrid" if scene_kind == "legacy" else "persistent"
+
+    if engine == "hybrid":
+        from learn_path_tracing_tpu.integrator.hybrid import render_hybrid
+
+        def run(seed, spp=None, res=res, cp=cp):
+            return render_hybrid(wd, cp, res, spp=spp or args.spp,
+                                 limit=args.limit,
+                                 seed=seed, bsdf=bsdf,
+                                 camera_model=cam_model, scene=scene_kind,
+                                 hit_backend=args.hit_backend,
+                                 chunk_spp=args.chunk_spp, cap=args.cap,
+                                 pool_w=args.pool_w,
+                                 drain_ratio=args.drain_ratio)
+    else:
+        def run(seed, spp=None, res=res, cp=cp):
+            return render_persistent(wd, cp, res, spp=spp or args.spp,
+                                     limit=args.limit,
+                                     seed=seed, bsdf=bsdf,
+                                     camera_model=cam_model,
+                                     scene=scene_kind,
+                                     hit_backend=args.hit_backend,
+                                     pool_mult=args.pool_mult,
+                                     pool_div=args.pool_div)
+
     if args.time1024:
         import jax
         import jax.numpy as jnp
 
         # chunk the spp axis into separate device calls (watchdog-safe,
-        # same RNG counters as one call — chunks pipeline via async dispatch).
-        # 512 = ~27 s of device time per call: comfortably under the 120 s
-        # watchdog while paying the tunnel's per-dispatch overhead (measured
-        # ~2.75 s/call on a degraded relay day, 2026-08-19) only twice.
+        # same RNG counters as one call — chunks pipeline via async
+        # dispatch). 512 = ~23 s of device time per call: comfortably
+        # under the 120 s watchdog while paying the tunnel's per-dispatch
+        # overhead (measured ~2.75 s/call on a degraded relay day,
+        # 2026-08-19) only twice. (The round-4 worker crash at this chunk
+        # size was the flat one-hot accumulate's ~2.1 GB/pass operand —
+        # fixed by the sliding-window accumulator, persistent.py round-5.)
         chunk = 512
 
         def run_chunk(seed):
             # distinct seed per chunk = plain progressive MC accumulation
             # (the stages/common.run_path_traced chunking pattern)
-            return render_persistent(
-                wd, cp, res, spp=chunk, limit=args.limit, seed=seed,
-                bsdf=bsdf, camera_model=cam_model, scene=scene_kind,
-                hit_backend=args.hit_backend)
+            return run(seed, spp=chunk)
 
         # warm-up compile + transfer path (block_until_ready can return
         # early on the tunneled runtime; a scalar readback is the only true
@@ -166,35 +210,21 @@ def main():
         }))
         return 0
 
-    engine = args.engine
-    if engine == "auto":
-        # measured-best per scene (BASELINE.md round-4 engine matrix):
-        # hybrid 14.1 vs persistent 12.5 on the yoimiya mesh; persistent
-        # stays fastest on sphere scenes (the hybrid's dense primary
-        # decomposition targets BVH workloads)
-        engine = "hybrid" if scene_kind == "legacy" else "persistent"
+    if args.sweep_res:
+        from learn_path_tracing_tpu.utils.benchlib import time_fn_async
 
-    if engine == "hybrid":
-        from learn_path_tracing_tpu.integrator.hybrid import render_hybrid
-
-        def run(seed):
-            return render_hybrid(wd, cp, res, spp=args.spp, limit=args.limit,
-                                 seed=seed, bsdf=bsdf,
-                                 camera_model=cam_model, scene=scene_kind,
-                                 hit_backend=args.hit_backend,
-                                 chunk_spp=args.chunk_spp, cap=args.cap,
-                                 pool_w=args.pool_w,
-                                 drain_ratio=args.drain_ratio)
-    else:
-        def run(seed):
-            return render_persistent(wd, cp, res, spp=args.spp,
-                                     limit=args.limit,
-                                     seed=seed, bsdf=bsdf,
-                                     camera_model=cam_model,
-                                     scene=scene_kind,
-                                     hit_backend=args.hit_backend,
-                                     pool_mult=args.pool_mult,
-                                     pool_div=args.pool_div)
+        for r in ((1280, 720), (1920, 1080), (2560, 1440), (3840, 2160)):
+            cpr = make_cam(r)
+            dt, (img, segs) = time_fn_async(
+                lambda seed: run(seed, res=r, cp=cpr), 0, iters=3, warmup=1)
+            mrays = float(segs) / dt / 1e6
+            print(json.dumps({
+                "metric": f"{metric}_{r[0]}x{r[1]}_spp{args.spp}",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 3),
+            }), flush=True)
+        return 0
 
     if args.flagship:
         # one frame = one device call (spp 32 fits the watchdog comfortably);

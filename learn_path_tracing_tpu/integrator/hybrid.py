@@ -146,6 +146,9 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
         raise ValueError(f"chunk_spp={chunk_spp} must divide spp={spp}")
     if n * spp >= (1 << 32):
         raise ValueError("n*spp must fit u32 (work-item id packing)")
+    if drain_ratio < 1:
+        raise ValueError(f"drain_ratio={drain_ratio} must be >= 1 "
+                         f"(cascade levels narrow by this factor)")
     n_chunks = spp // chunk_spp
     L0 = n * chunk_spp
     if cap <= 0:

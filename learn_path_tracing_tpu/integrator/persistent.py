@@ -48,6 +48,20 @@ from .wavefront import _scene_fns
 # n/32 = 28.8k-lane point regressed 106.9 -> 92.2 Mrays/s).
 POOL_FLOOR = 57600
 
+# items_per above which the accumulate switches to the two-level factorized
+# one-hot (see ``accumulate``): the flat one-hot's O(items) per-pass traffic
+# is tolerable at the 720p headline's ~1029 items (measured at parity) and
+# a 2x loss by ~2058 (1080p) — switch just past the headline point.
+_ACC_SPLIT_MIN_ITEMS = 1280
+
+# Sliding accumulation-window width (see ``accumulate_w`` in
+# _persistent_core): the spread of per-lane item counters stays well under
+# +-200 on the measured workloads (item lists concentrate by CLT), so 1024
+# leaves a wide margin and parking ~never fires, while the [g, spp, 1024]
+# one-hot stays inside XLA's cheap fusion regime (the same shape class the
+# 720p headline's flat path fuses at 0.08 ms/pass).
+ACC_WINDOW = 1024
+
 
 @partial(jax.jit, static_argnames=("resolution", "spp", "limit", "bsdf",
                                    "camera_model", "scene", "hit_backend",
@@ -228,21 +242,40 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
     def cond(state):
         return state[-1] > 0.0
 
-    # Factorized one-hot accumulation (k = q*P + p via two small one-hots:
-    # tmp[g,r,p,c] = onehot_p * c elementwise, then a q-contraction).
-    # Identical term set per (g,q,p,c) cell — both one-hots are exact 0/1
-    # factors — so results differ from the flat path only by f32 add order
-    # within a cell (~1 ulp, the integrator's documented freedom).
-    # MEASURED SLOWER than the flat one-hot on the headline config
-    # (standalone 0.74 vs 0.52 ms/pass at items=1024/P=32; end-to-end
-    # 95.5 vs 97.6 Mrays/s, v5e 2026-08-20): the [g,spp,P,3] tmp expand
-    # plus the second one-hot cost more than the saved contraction width —
-    # XLA evidently does NOT pay the naive [g,spp,items] materialization
-    # bytes at large sizes (time1024's items≈16k runs fine on the flat
-    # path). Kept behind ``acc_split`` for ablation; 0 = flat (default).
+    # Accumulation-cost policy. The flat one-hot matmul's in-loop cost is
+    # ~free at the 720p headline's items_per ~1029 (0.08 ms/pass measured
+    # in-loop by differencing against acc_split=-1) but grows ~linearly
+    # past XLA's fusion size and hits 0.59 ms/pass at 1080p's items ~2058
+    # — the round-4 verdict's 2x resolution-scaling loss (60.3 vs 114
+    # Mrays/s; without accumulation both resolutions run ~132-135,
+    # scripts/profile_res_scaling.py, v5e 2026-08-21). At the time1024
+    # config (spp 512, items ~16.5k) the [g, spp, items] one-hot operand
+    # reaches ~2.1 GB/pass and crashed the TPU worker outright.
+    #
+    # Fix: a SLIDING-WINDOW one-hot. Lane item counters k all start at 0
+    # and advance by at most 1 per pass, so the live k-range is tightly
+    # concentrated; deposits one-hot against a WIN-wide window
+    # ``wacc[groups, WIN, 3]`` over ``k - wbase`` (cost independent of
+    # items_per) and half-windows flush into the big accumulator by
+    # dynamic-slice adds (no one-hot). A lane whose NEXT item would start
+    # at k >= wbase + WIN parks (no fresh ray) until the window slides —
+    # so every deposit provably lands in-window and results stay exactly
+    # the flat path's term set per (g, k) cell (~1 ulp add-order freedom).
+    #
+    # ``acc_split``: 0 = auto (flat below _ACC_SPLIT_MIN_ITEMS, windowed
+    # above), 1 = force flat, -1 = drop contributions (profiling only),
+    # -2 = force windowed (tests), >1 = the two-level factorized one-hot (k = q*P + p) — MEASURED
+    # SLOWER everywhere (end-to-end 1080p: 41-43 Mrays/s for P in 2..8 vs
+    # 60.3 flat vs ~113 windowed; the [g, spp, P*9] tmp expand breaks
+    # XLA's one-hot fusion), kept as the ablation record.
     _acc_P = 1
-    if matmul_acc and acc_split > 1 and items_per % acc_split == 0:
+    windowed = (matmul_acc and acc_split in (0, -2)
+                and (acc_split == -2
+                     or items_per > _ACC_SPLIT_MIN_ITEMS))
+    if matmul_acc and acc_split > 1:
         _acc_P = acc_split
+        items_per = -(-items_per // _acc_P) * _acc_P
+    _WIN = ACC_WINDOW if windowed else 0
 
     def accumulate(acc, k, pixel, contrib):
         """Add per-lane contributions to the accumulator.
@@ -253,25 +286,36 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
         """
         if not matmul_acc:
             return acc.at[pixel].add(contrib)
+        if acc_split == -1:      # profiling only: drop contributions
+            return acc + 0.0 * jnp.sum(contrib)
         k_g = k.reshape(groups, spp)
         c_g = contrib.reshape(groups, spp, 3)
         if _acc_P > 1:
+            # Two-level exact path: both one-hots are 0/1 (exact bf16) and
+            # the f32 contribution splits exactly into 3 bf16 parts
+            # (24 = 3x8 mantissa bits), so ONE default-precision MXU pass
+            # with f32 accumulation reproduces the flat path's term set.
             q_w = items_per // _acc_P
             q_g = k_g // jnp.uint32(_acc_P)
             p_g = k_g % jnp.uint32(_acc_P)
+            hi = c_g.astype(jnp.bfloat16)
+            r1 = c_g - hi.astype(jnp.float32)
+            lo = r1.astype(jnp.bfloat16)
+            lo2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+            c9 = jnp.concatenate([hi, lo, lo2], axis=-1)   # bf16 [g, spp, 9]
             oh_p = (p_g[:, :, None]
                     == jnp.arange(_acc_P, dtype=jnp.uint32)
-                    ).astype(jnp.float32)                  # [g, spp, P]
-            tmp = (oh_p[..., None] * c_g[:, :, None, :]
-                   ).reshape(groups, spp, _acc_P * 3)      # [g, spp, P*3]
+                    ).astype(jnp.bfloat16)                 # [g, spp, P]
+            tmp = (oh_p[..., None] * c9[:, :, None, :]
+                   ).reshape(groups, spp, _acc_P * 9)      # [g, spp, P*9]
             oh_q = (q_g[:, :, None]
                     == jnp.arange(q_w, dtype=jnp.uint32)
-                    ).astype(jnp.float32)                  # [g, spp, q_w]
-            delta = jax.lax.dot_general(
+                    ).astype(jnp.bfloat16)                 # [g, spp, q_w]
+            d = jax.lax.dot_general(
                 oh_q, tmp, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)       # [g, q_w, P*3]
-            return acc + delta.reshape(groups, items_per, 3)
+                preferred_element_type=jnp.float32)        # [g, q_w, P*9]
+            d = d.reshape(groups, items_per, 9)
+            return acc + (d[..., 0:3] + d[..., 3:6] + d[..., 6:9])
         # Exact bf16-split accumulation on the DEFAULT MXU path. Default
         # precision would truncate the radiance contributions to bf16
         # (banding in smooth gradients) and precision=HIGHEST fixes that by
@@ -295,9 +339,14 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
             preferred_element_type=jnp.float32)          # [g, items, 9]
         return acc + (d[..., 0:3] + d[..., 3:6] + d[..., 6:9])
 
-    def step(rays, k, bounce, pixel, sample, item_fn):
+    def step(rays, k, bounce, pixel, sample, item_fn, parked=None,
+             window_hi=None):
         """One bounce pass; shared by the full-width and drain loops.
-        Returns (rays', k', bounce', contrib, live_before, live_after)."""
+        Returns (rays', k', bounce', contrib, live_before, live_after,
+        parked'). ``parked``/``window_hi`` drive the windowed-accumulation
+        schedule: a parked lane holds an already-advanced item counter but
+        no ray; it (re)starts its item only once ``next_k < window_hi``,
+        guaranteeing every deposit lands inside the accumulation window."""
         hits = hit_fn(world_data, rays, hit_backend)
         live = jnp.sum(rays.alive.astype(jnp.float32))
 
@@ -312,11 +361,22 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
         scattered = scatter(rays, hits, base)
         survived = rays.alive & hits.hit & (bounce + 1 < limit)
 
-        # lanes whose path ended advance to their next work item
+        # lanes whose path ended advance to their next work item; parked
+        # lanes already advanced and only await a window slide
         ended = rays.alive & ~survived
-        next_k = k + ended.astype(jnp.uint32)
+        if parked is None:
+            next_k = k + ended.astype(jnp.uint32)
+            candidates = ended
+        else:
+            next_k = jnp.where(parked, k, k + ended.astype(jnp.uint32))
+            candidates = ended | parked
         nvalid, npix, nsamp = item_fn(next_k)
-        need_regen = ended & nvalid
+        ok = nvalid
+        if window_hi is not None:
+            ok = nvalid & (next_k < window_hi)
+        need_regen = candidates & ok
+        parked_out = (candidates & nvalid & ~ok if window_hi is not None
+                      else None)
         fresh = primary(npix, nsamp)
 
         rays = tree_where(survived, scattered,
@@ -326,28 +386,101 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
                           alive=alive)
         bounce = jnp.where(survived, bounce + 1, jnp.uint32(0))
         live_after = jnp.sum(alive.astype(jnp.float32))
-        return rays, next_k, bounce, contrib, live, live_after
+        return rays, next_k, bounce, contrib, live, live_after, parked_out
 
     def body(state):
         rays, k, bounce, acc, segments, passes, _ = state
         _, pixel, sample = item_of(k)
-        rays, next_k, bounce, contrib, live, live_after = step(
+        rays, next_k, bounce, contrib, live, live_after, _pk = step(
             rays, k, bounce, pixel, sample, item_of)
         acc = accumulate(acc, k, pixel, contrib)
         return (rays, next_k, bounce, acc, segments + live, passes + 1.0,
                 live_after)
 
-    acc0 = (jnp.zeros((groups, items_per, 3), jnp.float32) if matmul_acc
-            else jnp.zeros((n, 3), jnp.float32))
-    state0 = (
-        rays0,
-        jnp.zeros((pool,), jnp.uint32),
-        jnp.zeros((pool,), jnp.uint32),
-        acc0,
-        jnp.float32(0.0),
-        jnp.float32(0.0),   # pass counter (telemetry)
-        live0,              # carried live count (cond reads a scalar)
-    )
+    halfw = _WIN // 2
+    if windowed:
+        karange_w = jnp.arange(_WIN, dtype=jnp.uint32)
+
+        def accumulate_w(wacc, kw, contrib):
+            """Window deposit: the flat bf16-split one-hot over the
+            WIN-wide window — same exact term set (kw is in [0, WIN) for
+            every lane whose contrib can be nonzero; see step's parking)."""
+            k_g = kw.reshape(groups, spp)
+            c_g = contrib.reshape(groups, spp, 3)
+            onehot = (k_g[:, :, None] == karange_w).astype(jnp.bfloat16)
+            hi = c_g.astype(jnp.bfloat16)
+            r1 = c_g - hi.astype(jnp.float32)
+            lo = r1.astype(jnp.bfloat16)
+            lo2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+            c9 = jnp.concatenate([hi, lo, lo2], axis=-1)
+            d = jax.lax.dot_general(
+                onehot, c9, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            return wacc + (d[..., 0:3] + d[..., 3:6] + d[..., 6:9])
+
+        def flush_half(op):
+            acc, wacc, wbase = op
+            i0 = wbase.astype(jnp.int32)
+            cur = jax.lax.dynamic_slice(acc, (jnp.int32(0), i0, jnp.int32(0)),
+                                        (groups, halfw, 3))
+            acc = jax.lax.dynamic_update_slice(
+                acc, cur + wacc[:, :halfw], (jnp.int32(0), i0, jnp.int32(0)))
+            wacc = jnp.concatenate(
+                [wacc[:, halfw:],
+                 jnp.zeros((groups, halfw, 3), jnp.float32)], axis=1)
+            return acc, wacc, wbase + jnp.uint32(halfw)
+
+        def body_w(state):
+            (rays, k, bounce, acc, wacc, wbase, parked, segments, passes,
+             _) = state
+            # slide the window once the slowest unfinished lane clears the
+            # lower half (the flush is a dynamic-slice add — no one-hot)
+            unfinished = rays.alive | parked
+            minval = jnp.min(jnp.where(unfinished, k,
+                                       jnp.uint32(0xFFFFFFFF)))
+            slide = ((minval != jnp.uint32(0xFFFFFFFF))
+                     & (minval >= wbase + jnp.uint32(halfw)))
+            acc, wacc, wbase = jax.lax.cond(
+                slide, flush_half, lambda op: op, (acc, wacc, wbase))
+
+            _, pixel, sample = item_of(k)
+            rays, next_k, bounce, contrib, live, live_after, parked = step(
+                rays, k, bounce, pixel, sample, item_of, parked=parked,
+                window_hi=wbase + jnp.uint32(_WIN))
+            wacc = accumulate_w(wacc, k - wbase, contrib)
+            live_sig = live_after + jnp.sum(parked.astype(jnp.float32))
+            return (rays, next_k, bounce, acc, wacc, wbase, parked,
+                    segments + live, passes + 1.0, live_sig)
+
+    if windowed:
+        # extra WIN rows so the final full-window flush at wbase <=
+        # items_per - 1 never clamps; the padded rows map past n and are
+        # sliced off after the transpose
+        acc0 = jnp.zeros((groups, items_per + _WIN, 3), jnp.float32)
+        state0 = (
+            rays0,
+            jnp.zeros((pool,), jnp.uint32),
+            jnp.zeros((pool,), jnp.uint32),
+            acc0,
+            jnp.zeros((groups, _WIN, 3), jnp.float32),   # window acc
+            jnp.uint32(0),                               # window base
+            jnp.zeros((pool,), bool),                    # parked lanes
+            jnp.float32(0.0),
+            jnp.float32(0.0),   # pass counter (telemetry)
+            live0,              # carried live count (cond reads a scalar)
+        )
+    else:
+        acc0 = (jnp.zeros((groups, items_per, 3), jnp.float32) if matmul_acc
+                else jnp.zeros((n, 3), jnp.float32))
+        state0 = (
+            rays0,
+            jnp.zeros((pool,), jnp.uint32),
+            jnp.zeros((pool,), jnp.uint32),
+            acc0,
+            jnp.float32(0.0),
+            jnp.float32(0.0),   # pass counter (telemetry)
+            live0,              # carried live count (cond reads a scalar)
+        )
 
     # Drain compaction: the static item schedule leaves a long straggler
     # tail — the last few % of work can take most of the passes, each
@@ -382,15 +515,33 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
             return state[-1] > jnp.float32(levels[0])
     else:
         cond1 = cond
-    (rays, k, bounce, acc, segments, passes_full,
-     live_now) = jax.lax.while_loop(cond1, body, state0)
+    if windowed:
+        (rays, k, bounce, acc, wacc, wbase, parked, segments, passes_full,
+         live_now) = jax.lax.while_loop(cond1, body_w, state0)
+        # flush the full window, then wake every still-parked lane: the
+        # drain levels deposit by scatter-add into the flat pixel
+        # accumulator, so they have no window constraint
+        i0 = wbase.astype(jnp.int32)
+        cur = jax.lax.dynamic_slice(acc, (jnp.int32(0), i0, jnp.int32(0)),
+                                    (groups, _WIN, 3))
+        acc = jax.lax.dynamic_update_slice(
+            acc, cur + wacc, (jnp.int32(0), i0, jnp.int32(0)))
+        _, wpix, wsamp = item_of(k)
+        fresh = primary(wpix, wsamp)
+        rays = tree_where(parked, fresh, rays)
+        rays = type(rays)(ro=rays.ro, rd=rays.rd,
+                          throughput=rays.throughput,
+                          alive=rays.alive | parked)
+    else:
+        (rays, k, bounce, acc, segments, passes_full,
+         live_now) = jax.lax.while_loop(cond1, body, state0)
     drain_passes = []
 
     if matmul_acc:
         # acc[g, k] holds pixel g + k*groups → transpose to pixel-major.
         # The ceil item schedule can overshoot n; the excess rows are
         # all-zero (their items were masked invalid) — slice them off.
-        acc = acc.transpose(1, 0, 2).reshape(groups * items_per, 3)[:n]
+        acc = acc.transpose(1, 0, 2).reshape(groups * acc.shape[1], 3)[:n]
     acc_flat = acc
 
     g_arr = lanes // jnp.uint32(spp)
@@ -437,7 +588,7 @@ def _persistent_core(world_data, cam: CameraParams, resolution, n: int,
             rays, k, bounce, acc, segments, passes, live_now = state
             for _ in range(unroll):
                 _, pixel, _ = item_of_d(k)
-                rays, k, bounce, contrib, live, live_now = step(
+                rays, k, bounce, contrib, live, live_now, _pk = step(
                     rays, k, bounce, pixel, samp_cur, item_of_d)
                 acc = acc.at[pixel].add(contrib)
                 segments = segments + live

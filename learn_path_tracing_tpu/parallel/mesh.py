@@ -181,7 +181,7 @@ def render_hybrid_multichip(world_data, cam: CameraParams, resolution,
                             scene: str = "legacy",
                             hit_backend: str = "auto",
                             chunk_spp: int = 0, cap: int = 0,
-                            pool_w: int = 0, drain_ratio: int = 8):
+                            pool_w: int = 0, drain_ratio: int = 2):
     """Tile/spp-sharded hybrid integrator (the fast mesh path, multi-chip).
 
     Each device runs integrator.hybrid._hybrid_core over its own pixel

@@ -25,7 +25,8 @@ def main():
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--only", type=str, default="",
                    help="comma-separated section names to run (default all): "
-                        "raygen,trace,env,extract,batch,merge,deposit,pool")
+                        "raygen,trace,env,extract,batch,merge,deposit,pool,"
+                        "sec,attrs,poolreal")
     args = p.parse_args()
     only = set(args.only.split(",")) if args.only else None
 

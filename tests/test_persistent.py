@@ -125,3 +125,57 @@ def test_factorized_accumulate_matches_flat():
     assert np.allclose(np.asarray(a_img), np.asarray(c_img),
                        rtol=0, atol=5e-7)
     assert float(a_seg) == float(b_seg) == float(c_seg)
+
+
+def test_windowed_accumulate_matches_flat():
+    """acc_split=-2 forces the sliding-window accumulator (the default past
+    _ACC_SPLIT_MIN_ITEMS work items — the round-5 fix for the 1080p 2x
+    resolution-scaling loss and the time1024 spp-512 worker crash). The
+    window deposits the same per-(group, item) term set as the flat
+    one-hot, so images must match to f32 add-order (~1 ulp) and segment
+    counts exactly; pool_div=16 gives items_per >> ACC_WINDOW/2 so the
+    half-window flush path runs, and a tiny window would park lanes —
+    covered by the schedule invariant (parked lanes trace nothing, so
+    segments stay exact)."""
+    res = (36, 32)
+    world = stage8_scene()
+    cam = Camera(res)
+    cam.set_position((0, 0.4, 4))
+    wd = world.device()
+    a_img, a_seg = render_persistent(wd, cam.params(), res, spp=16, limit=6,
+                                     seed=7, pool_div=16, acc_split=-2)
+    b_img, b_seg = render_persistent(wd, cam.params(), res, spp=16, limit=6,
+                                     seed=7, pool_div=16, acc_split=1)
+    c_img, c_seg = render(wd, cam.params(), res, spp=16, limit=6, seed=7)
+    assert np.allclose(np.asarray(a_img), np.asarray(b_img),
+                       rtol=0, atol=5e-7)
+    assert np.allclose(np.asarray(a_img), np.asarray(c_img),
+                       rtol=0, atol=5e-7)
+    assert float(a_seg) == float(b_seg) == float(c_seg)
+
+
+def test_windowed_accumulate_parking():
+    """Drive the window so small that lanes park: shrink ACC_WINDOW to the
+    minimum slide granularity and use long item lists. Parking must only
+    reschedule work (identical radiance and exact segment counts), never
+    drop deposits."""
+    import learn_path_tracing_tpu.integrator.persistent as P
+
+    res = (40, 32)   # distinct shape -> no jit-cache collision with the
+    world = stage8_scene()   # default-window traces
+    cam = Camera(res)
+    cam.set_position((0, 0.4, 4))
+    wd = world.device()
+    old = P.ACC_WINDOW
+    P.ACC_WINDOW = 8
+    try:
+        a_img, a_seg = render_persistent(wd, cam.params(), res, spp=16,
+                                         limit=6, seed=7, pool_div=16,
+                                         acc_split=-2)
+    finally:
+        P.ACC_WINDOW = old
+    b_img, b_seg = render_persistent(wd, cam.params(), res, spp=16, limit=6,
+                                     seed=7, pool_div=16, acc_split=1)
+    assert np.allclose(np.asarray(a_img), np.asarray(b_img),
+                       rtol=0, atol=5e-7)
+    assert float(a_seg) == float(b_seg)
