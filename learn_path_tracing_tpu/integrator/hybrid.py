@@ -343,16 +343,22 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
         if limit <= 1:
             return P, acc, segments, passes, live, fill
 
-        # ---- survivor extraction: 5-operand sort, survivors first ----
+        # ---- survivor extraction: 3-operand sort, survivors first ----
+        # t itself is the partition key: hits carry finite t > 0, misses
+        # +inf, so ascending t puts survivors in a prefix (the near-to-far
+        # order within it is harmless — every downstream step keys on the
+        # carried work-item id). src rides prim's high bits (prim < 2^24
+        # — 16.7M primitives, far above any scene here; src+1 < 128),
+        # cutting the round-4 5-operand extraction sort (7.5 ms/chunk at
+        # 1.84M rows, scripts/profile_hybrid.py) to 3 operands.
         wid_a = pixel_a * uspp + sample_a
         count = jnp.sum(hitm.astype(jnp.uint32))
-        (_, wid_s, t_s, prim_s, src_s) = lax.sort(
-            ((~hitm).astype(jnp.uint32), wid_a, t, prim, src), num_keys=1)
+        ps = jnp.where(hitm, prim | ((src + 1) << 24), -1)
+        (t_s, wid_s, ps_s) = lax.sort((t, wid_a, ps), num_keys=1)
         # pad `cap` inert rows so batch dynamic_slices never clamp/alias
         wid_s = jnp.concatenate([wid_s, jnp.zeros((cap,), jnp.uint32)])
         t_s = jnp.concatenate([t_s, jnp.full((cap,), jnp.inf, jnp.float32)])
-        prim_s = jnp.concatenate([prim_s, jnp.full((cap,), -1, jnp.int32)])
-        src_s = jnp.concatenate([src_s, jnp.full((cap,), -1, jnp.int32)])
+        ps_s = jnp.concatenate([ps_s, jnp.full((cap,), -1, jnp.int32)])
 
         # ---- spill loop: usually one batch/chunk; any hit fraction works --
         def spill_cond(st):
@@ -363,8 +369,9 @@ def _hybrid_core(world_data, cam: CameraParams, resolution, n: int,
             off = j * jnp.uint32(cap)
             widb = lax.dynamic_slice(wid_s, (off,), (cap,))
             tb = lax.dynamic_slice(t_s, (off,), (cap,))
-            primb = lax.dynamic_slice(prim_s, (off,), (cap,))
-            srcb = lax.dynamic_slice(src_s, (off,), (cap,))
+            psb = lax.dynamic_slice(ps_s, (off,), (cap,))
+            primb = jnp.where(psb >= 0, psb & 0xFFFFFF, -1)
+            srcb = jnp.where(psb >= 0, (psb >> 24) - 1, -1)
             batch_n = jnp.minimum(jnp.uint32(cap), count - off)
 
             # regen + deferred shading + bounce-0 scatter at batch width:

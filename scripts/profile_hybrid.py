@@ -103,15 +103,21 @@ def main():
 
     @jax.jit
     def extract(t_, prim_, src_):
-        key = (~jnp.isfinite(t_)).astype(jnp.uint32)
-        return jax.lax.sort((key, wid, t_, prim_, src_), num_keys=1)
+        # the round-5 3-operand form (integrator/hybrid.py): t itself is
+        # the partition key (hits finite, misses +inf), src packed into
+        # prim's high bits
+        ps = jnp.where(jnp.isfinite(t_), prim_ | ((src_ + 1) << 24), -1)
+        t_o, wid_o, ps_o = jax.lax.sort((t_, wid, ps), num_keys=1)
+        prim_o = jnp.where(ps_o >= 0, ps_o & 0xFFFFFF, -1)
+        src_o = jnp.where(ps_o >= 0, (ps_o >> 24) - 1, -1)
+        return t_o, wid_o, prim_o, src_o
 
     if want("extract"):
-        dt, (ks, wid_s, t_s, prim_s, src_s) = time_fn_async(
+        dt, (t_s, wid_s, prim_s, src_s) = time_fn_async(
             extract, t, prim, src, iters=args.iters)
-        print(f"extract 5-op sort@{L0}: {dt*1e3:8.2f} ms", flush=True)
+        print(f"extract 3-op sort@{L0}: {dt*1e3:8.2f} ms", flush=True)
     else:
-        ks, wid_s, t_s, prim_s, src_s = extract(t, prim, src)
+        t_s, wid_s, prim_s, src_s = extract(t, prim, src)
 
     widb, tb, primb, srcb = (x[:cap] for x in (wid_s, t_s, prim_s, src_s))
     count = jnp.minimum(jnp.sum(jnp.isfinite(t_s).astype(jnp.int32)),
