@@ -26,7 +26,6 @@ from ..accel.traverse import (
 from ..accel.wide import WideBVH, collapse, traverse_wide
 from ..core.pytree import pytree_dataclass
 from ..core.types import Hits, Materials, Rays
-from ..geometry.triangle import triangle_barycentrics
 from ..io.obj import MeshData
 from ..io.texture import (
     StripAtlas,
@@ -613,22 +612,50 @@ def _attrs_block(world: LegacyWorldData, point, pidx, src_best, hit_mask):
                                 jnp.int32(int(offsets[k])), off)
             gidx = pidx + off
         row = jnp.take(world.tri_attr, jnp.where(is_mesh, gidx, 0), axis=0)
-        p1, p2, p3 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
-        n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
-        uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
-        m_tex = row[:, 24].astype(jnp.int32)
-        w1, w2, w3 = triangle_barycentrics(p1, p2, p3, point)
-        sm_n = w1[:, None] * n0 + w2[:, None] * n1 + w3[:, None] * n2
-        sm_n = sm_n / jnp.maximum(
-            jnp.sqrt(jnp.sum(sm_n * sm_n, -1, keepdims=True)), 1e-20)
-        sm_uv = w1[:, None] * uv0 + w2[:, None] * uv1 + w3[:, None] * uv2
+        # Slicing the gathered [M,32] row into nine [M,3]/[M,2] operands and
+        # interpolating in column form measures 41 ns/row on v5e; the SAME
+        # cross-ratio barycentrics (triangle_barycentrics' form,
+        # 15_module.py:923-931) expressed component-wise on 1-D [M] vectors
+        # after one gather-fused transpose runs at 24 ns/row
+        # (scripts/profile_attrs3.py --transposed).
+        ct = row.T                                       # [32, M]
+        p1x, p1y, p1z = ct[0], ct[1], ct[2]
+        p2x, p2y, p2z = ct[3], ct[4], ct[5]
+        p3x, p3y, p3z = ct[6], ct[7], ct[8]
+
+        def _cross1(ax, ay, az, bx, by, bz):
+            return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+        nx, ny, nz = _cross1(p2x - p1x, p2y - p1y, p2z - p1z,
+                             p3x - p1x, p3y - p1y, p3z - p1z)
+        ninv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        px, py, pz = point[:, 0], point[:, 1], point[:, 2]
+        ex, ey, ez = p3x - p2x, p3y - p2y, p3z - p2z
+        cx, cy, cz = _cross1(ex, ey, ez, px - p2x, py - p2y, pz - p2z)
+        dx, dy, dz = _cross1(ex, ey, ez, p1x - p2x, p1y - p2y, p1z - p2z)
+        w1 = (cx * nx + cy * ny + cz * nz) / (dx * nx + dy * ny + dz * nz)
+        ex, ey, ez = p1x - p3x, p1y - p3y, p1z - p3z
+        cx, cy, cz = _cross1(ex, ey, ez, px - p3x, py - p3y, pz - p3z)
+        dx, dy, dz = _cross1(ex, ey, ez, p2x - p3x, p2y - p3y, p2z - p3z)
+        w2 = (cx * nx + cy * ny + cz * nz) / (dx * nx + dy * ny + dz * nz)
+        w3 = 1.0 - w1 - w2
+        smx = w1 * ct[9] + w2 * ct[12] + w3 * ct[15]
+        smy = w1 * ct[10] + w2 * ct[13] + w3 * ct[16]
+        smz = w1 * ct[11] + w2 * ct[14] + w3 * ct[17]
+        sinv = 1.0 / jnp.maximum(
+            jnp.sqrt(smx * smx + smy * smy + smz * smz), 1e-20)
+        su = w1 * ct[18] + w2 * ct[20] + w3 * ct[22]
+        sv = w1 * ct[19] + w2 * ct[21] + w3 * ct[23]
+        m_tex = ct[24].astype(jnp.int32)
         mm = is_mesh[:, None]
         # triangle normal mapping is computed but disabled in the reference
         # (15_module.py:945) — smooth vertex normal wins
-        normal = jnp.where(mm, sm_n, normal)
-        uv = jnp.where(mm, sm_uv, uv)
-        u_tap = jnp.where(is_mesh, sm_uv[:, 0], u_tap)
-        v_tap = jnp.where(is_mesh, sm_uv[:, 1], v_tap)
+        normal = jnp.where(
+            mm, jnp.stack([smx * sinv, smy * sinv, smz * sinv], -1), normal)
+        uv = jnp.where(mm, jnp.stack([su, sv], -1), uv)
+        u_tap = jnp.where(is_mesh, su, u_tap)
+        v_tap = jnp.where(is_mesh, sv, v_tap)
         tex_tap = jnp.where(is_mesh, jnp.maximum(m_tex, 0), tex_tap)
 
     # --- the single material tap (strip-packed: one pair-row gather) ---
