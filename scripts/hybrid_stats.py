@@ -22,6 +22,8 @@ def main():
     p.add_argument("--poolw", type=int, default=0)
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--limit", type=int, default=32)
+    p.add_argument("--res", type=str, default="640x360",
+                   help="WxH (the bench config is 1280x720)")
     args = p.parse_args()
 
     import jax
@@ -35,7 +37,7 @@ def main():
     from learn_path_tracing_tpu.integrator.hybrid import render_hybrid
     from worldcache import load_world
 
-    res = (640, 360)
+    res = tuple(int(v) for v in args.res.split("x"))
     n = res[0] * res[1]
     wd = load_world()
     cam = LegacyCamera(res)
